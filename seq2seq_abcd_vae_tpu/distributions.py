@@ -1,0 +1,78 @@
+"""Distribution registry for latent/emission noise models.
+
+Mirrors the reference registry (ABCD-VAE/modules/model.py:6-37): each entry
+maps a name to ``(sample, log_pdf, kl_to_standard, num_parameters)``.  All
+reductions are *unnormalized sums* over every element, matching the
+reference's packed-data loss semantics; callers that work with padded
+arrays pass an optional ``mask`` broadcastable against the value so that
+padding contributes exactly zero.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def sample_from_isotropic_gaussian(key: jax.Array, mean: jax.Array,
+                                   log_variance: jax.Array) -> jax.Array:
+    """Reparameterized draw ``mean + exp(0.5*logvar) * eps``
+    (reference: ABCD-VAE/modules/model.py:17-19)."""
+    eps = jax.random.normal(key, mean.shape, mean.dtype)
+    return mean + jnp.exp(0.5 * log_variance) * eps
+
+
+def kl_isotropic_to_standard_gaussian(mean: jax.Array, log_variance: jax.Array,
+                                      mask: jax.Array | None = None) -> jax.Array:
+    """Sum-reduced KL( N(mean, diag exp(logvar)) || N(0, I) )
+    (reference: ABCD-VAE/modules/model.py:21-28)."""
+    kl = -0.5 * (1.0 + log_variance - jnp.square(mean) - jnp.exp(log_variance))
+    if mask is not None:
+        kl = kl * mask
+    return jnp.sum(kl)
+
+
+def log_pdf_isotropic_gaussian(value: jax.Array, mean: jax.Array,
+                               log_variance: jax.Array,
+                               mask: jax.Array | None = None) -> jax.Array:
+    """Sum-reduced diagonal-Gaussian log density
+    (reference: ABCD-VAE/modules/model.py:30-37)."""
+    diff = value - mean
+    ll = -0.5 * (_LOG_2PI + log_variance
+                 + diff * jnp.exp(-log_variance) * diff)
+    if mask is not None:
+        ll = ll * mask
+    return jnp.sum(ll)
+
+
+class Distribution(NamedTuple):
+    sample: Callable[..., jax.Array]
+    log_pdf: Callable[..., jax.Array]
+    kl_to_standard: Callable[..., jax.Array]
+    num_parameters: int
+
+
+_REGISTRY: dict[str, Distribution] = {
+    "isotropic_gaussian": Distribution(
+        sample=sample_from_isotropic_gaussian,
+        log_pdf=log_pdf_isotropic_gaussian,
+        kl_to_standard=kl_isotropic_to_standard_gaussian,
+        num_parameters=2,
+    ),
+}
+
+
+def choose_distribution(distribution_name: str) -> Distribution:
+    """Name -> Distribution (reference: ABCD-VAE/modules/model.py:6-15)."""
+    return _REGISTRY[distribution_name]
+
+
+def register_distribution(name: str, dist: Distribution) -> None:
+    """Extension hook: the reference hard-codes its registry; we allow users
+    to add new noise models without forking."""
+    _REGISTRY[name] = dist

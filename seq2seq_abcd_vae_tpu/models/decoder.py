@@ -1,0 +1,271 @@
+"""Autoregressive variational decoder as a single ``lax.scan``.
+
+Reference: RNN_Variational_Decoder, ABCD-VAE/modules/model.py:84-284.
+Semantics reproduced over padded/masked batches:
+
+- latent (+ optional speaker embedding) -> initial (h, c) via a Linear;
+  the LSTM state is the torch interleave hidden.view(B,H,2) -> h=[...,0],
+  c=[...,1] (model.py:100,169-170,262-266);
+- first input is zeros; afterwards the *sampled* emission (not the mean)
+  is fed back (model.py:174,177-183); per-step input dropout is active
+  only in training mode, and --greedy_decoder == input_dropout 1.0
+  (model.py:94-95,290,297-299);
+- losses are unnormalized sums over valid timesteps: -log_pdf of the
+  ground truth under the emission params, plus sum-reduced BCE-with-logits
+  on end-of-sequence flags (model.py:122,187-196);
+- the offset head runs on the stacked per-step hidden states *after* the
+  scan — one large MXU matmul, as in the reference (model.py:191);
+- optional bidirectional decoder: a second scan consuming positions
+  right-to-left (short rows join late, matching the packed reverse loop,
+  model.py:215-237), directional sum-losses mixed by logsumexp with log
+  weights (model.py:244-250).  NOTE the reference's bidirectional offset
+  loss crashes (it passes the emission-params tuple to BCE, model.py:258);
+  we implement the evident intent: logsumexp over the two directional BCE
+  sums.
+
+The time axis is the bucket max-T; masking freezes finished rows, which
+is exactly the packed "shrinking batch" computation (model.py:175-177).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import distributions as dist
+from ..configs import DecoderConfig
+from . import esn as esn_mod
+from . import initializers as init
+from . import mlp as mlp_mod
+from . import rnn as rnn_mod
+from . import sampler as sampler_mod
+
+
+class DecoderOutput(NamedTuple):
+    emission_loss: Optional[jax.Array]  # scalar sum over valid steps
+    offset_loss: Optional[jax.Array]    # scalar sum over valid steps
+    out: jax.Array                      # (B, T, F) sampled emissions
+    emission_params: tuple              # tuple of (B, T, F)
+    offset_weights: jax.Array           # (B, T) pre-sigmoid logits
+    out_reverse: Optional[jax.Array] = None
+    emission_params_reverse: Optional[tuple] = None
+    offset_weights_reverse: Optional[jax.Array] = None
+
+
+def decoder_init(key: jax.Array, cfg: DecoderConfig) -> dict:
+    keys = jax.random.split(key, 8)
+    feat = cfg.feature_size
+    if cfg.has_speaker_embedding:
+        feat += cfg.speaker_embed_dim
+    params = {
+        "feature2hidden": init.linear_params(keys[0], feat,
+                                             cfg.hidden_size_total),
+        "rnn_cell": _cell_init(keys[1], cfg),
+        "emission_sampler": sampler_mod.sampler_init(
+            keys[2], _emission_cfg(cfg)),
+        "offset_predictor": mlp_mod.mlp_init(keys[3], cfg.rnn_hidden_size,
+                                             cfg.mlp_hidden_size, 1),
+    }
+    if cfg.has_speaker_embedding:
+        params["embed_speaker"] = init.normal_params(
+            keys[4], (cfg.num_speakers, cfg.speaker_embed_dim))
+    if cfg.bidirectional:
+        params["rnn_cell_reverse"] = _cell_init(keys[5], cfg)
+        params["emission_sampler_reverse"] = sampler_mod.sampler_init(
+            keys[6], _emission_cfg(cfg))
+        params["offset_predictor_reverse"] = mlp_mod.mlp_init(
+            keys[7], cfg.rnn_hidden_size, cfg.mlp_hidden_size, 1)
+    return params
+
+
+def _emission_cfg(cfg: DecoderConfig):
+    from ..configs import GaussianSamplerConfig
+    return GaussianSamplerConfig(cfg.rnn_hidden_size, cfg.mlp_hidden_size,
+                                 cfg.output_size, cfg.emission_distr_name)
+
+
+def _cell_init(key: jax.Array, cfg: DecoderConfig) -> dict:
+    if cfg.rnn_type == "ESN":
+        return esn_mod.esn_layer_init(key, cfg.output_size,
+                                      cfg.rnn_hidden_size)
+    return init.rnn_gate_params(key, cfg.output_size, cfg.rnn_hidden_size,
+                                rnn_mod.NUM_GATES[cfg.rnn_type])
+
+
+def _cell_step(cfg: DecoderConfig, params: dict, x: jax.Array,
+               h: jax.Array, c: jax.Array):
+    if cfg.rnn_type == "ESN":
+        return esn_mod.esn_step(params, x, h, cfg.esn_leak), c
+    return rnn_mod.cell_apply(cfg.rnn_type, params, x, (h, c))
+
+
+def _split_hidden(cfg: DecoderConfig, hidden: jax.Array):
+    """Torch-interleave split of the initial state (model.py:100-105)."""
+    b = hidden.shape[0]
+    if cfg.rnn_type == "LSTM":
+        hc = hidden.reshape(b, cfg.rnn_hidden_size, 2)
+        return hc[..., 0], hc[..., 1]
+    h = hidden.reshape(b, cfg.rnn_hidden_size)
+    return h, jnp.zeros_like(h)
+
+
+def _input_dropout(x, rate, key, deterministic):
+    if deterministic or rate <= 0.0:
+        return x
+    if rate >= 1.0:
+        return jnp.zeros_like(x)
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def _run_direction(cfg: DecoderConfig, cell_params: dict,
+                   emission_params: dict, h0: jax.Array, c0: jax.Array,
+                   step_mask: jax.Array, key: jax.Array,
+                   deterministic: bool, emission_mode: str):
+    """One decoding direction over scan steps 0..T-1.
+
+    step_mask: (B, T) validity *in scan-step order* (flip it along time for
+    the reverse direction).  A row's input is gated to zero on its first
+    active step (zero first input, model.py:174,218) and to the previous
+    sample afterwards.
+
+    Returns stacked (B, T, .) arrays in scan-step order.
+    """
+    b, t = step_mask.shape
+    f = cfg.output_size
+    d = dist.choose_distribution(cfg.emission_distr_name)
+
+    mask_t = jnp.swapaxes(step_mask, 0, 1)[..., None]  # (T, B, 1)
+    prev_mask_t = jnp.concatenate(
+        [jnp.zeros_like(mask_t[:1]), mask_t[:-1]], axis=0)
+    x0 = jnp.zeros((b, f), h0.dtype)
+
+    def step(carry, inp):
+        h, c, x_prev, k = carry
+        mt, pmt = inp
+        k, k_drop, k_samp = jax.random.split(k, 3)
+        x = jnp.where(pmt, x_prev, 0.0)
+        x = _input_dropout(x, cfg.input_dropout, k_drop, deterministic)
+        h2, c2 = _cell_step(cfg, cell_params, x, h, c)
+        em = sampler_mod.sampler_apply(emission_params, h2)
+        if emission_mode == "mean":
+            x_next = em[0]  # sampler2mean(mean_ix=0), model.py:272-284
+        else:
+            x_next = d.sample(k_samp, *em)
+        h = jnp.where(mt, h2, h)
+        c = jnp.where(mt, c2, c)
+        return (h, c, x_next, k), (h2, em, x_next)
+
+    _, (rnn_out, em_params, out) = jax.lax.scan(
+        step, (h0, c0, x0, key), (mask_t, prev_mask_t))
+    # (T, B, .) -> (B, T, .)
+    rnn_out = jnp.swapaxes(rnn_out, 0, 1)
+    em_params = tuple(jnp.swapaxes(p, 0, 1) for p in em_params)
+    out = jnp.swapaxes(out, 0, 1)
+    return rnn_out, em_params, out
+
+
+def _bce_with_logits_sum(logits: jax.Array, targets: jax.Array,
+                         mask: jax.Array) -> jax.Array:
+    """Sum-reduced binary cross entropy with logits (stable form), parity
+    with torch.nn.BCEWithLogitsLoss(reduction='sum') (model.py:122)."""
+    per = (jnp.maximum(logits, 0.0) - logits * targets
+           + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    return jnp.sum(per * mask)
+
+
+def decoder_apply(params: dict, cfg: DecoderConfig, features: jax.Array,
+                  lengths: jax.Array, total_steps: int, *,
+                  speaker: jax.Array | None = None,
+                  ground_truth_out: jax.Array | None = None,
+                  ground_truth_offset: jax.Array | None = None,
+                  key: jax.Array,
+                  deterministic: bool = False,
+                  emission_mode: str = "sample") -> DecoderOutput:
+    """Decode a batch of latents.
+
+    Args:
+      features: (B, feature_size) latent vectors.
+      lengths: (B,) valid step counts (0 for batch-padding rows).
+      total_steps: static T (bucket max).
+      speaker: (B,) int ids; required iff the config embeds speakers.
+      ground_truth_out: (B, T, F) padded targets (enables emission_loss).
+      ground_truth_offset: (B, T) end-of-sequence flags (enables
+        offset_loss).
+      emission_mode: 'sample' (default) or 'mean' (sampler2mean analogue).
+    """
+    if cfg.has_speaker_embedding:
+        emb = params["embed_speaker"][speaker]
+        features = jnp.concatenate([features, emb], axis=-1)
+    lin = params["feature2hidden"]
+    hidden = features @ lin["w"] + lin["b"]
+    mask = rnn_mod.lengths_to_mask(lengths, total_steps)
+    fmask = mask.astype(hidden.dtype)
+
+    if not cfg.bidirectional:
+        h0, c0 = _split_hidden(cfg, hidden)
+        key_f = jax.random.fold_in(key, 0)
+        rnn_out, em, out = _run_direction(
+            cfg, params["rnn_cell"], params["emission_sampler"], h0, c0,
+            mask, key_f, deterministic, emission_mode)
+        offset_logits = mlp_mod.mlp_apply(params["offset_predictor"],
+                                          rnn_out).squeeze(-1)
+        emission_loss = None
+        if ground_truth_out is not None:
+            d = dist.choose_distribution(cfg.emission_distr_name)
+            emission_loss = -d.log_pdf(ground_truth_out, *em,
+                                       mask=fmask[..., None])
+        offset_loss = None
+        if ground_truth_offset is not None:
+            offset_loss = _bce_with_logits_sum(offset_logits,
+                                               ground_truth_offset, fmask)
+        return DecoderOutput(emission_loss, offset_loss, out, em,
+                             offset_logits)
+
+    # --- bidirectional (model.py:198-260) ---
+    b = features.shape[0]
+    both = hidden.reshape(b, -1, 2)
+    h0_f, c0_f = _split_hidden(cfg, both[..., 0])
+    h0_r, c0_r = _split_hidden(cfg, both[..., 1])
+    key_f = jax.random.fold_in(key, 0)
+    key_r = jax.random.fold_in(key, 1)
+
+    rnn_out_f, em_f, out_f = _run_direction(
+        cfg, params["rnn_cell"], params["emission_sampler"], h0_f, c0_f,
+        mask, key_f, deterministic, emission_mode)
+    # Reverse: scan step s processes position T-1-s; flip masks in, flip
+    # stacked outputs back to position-major.
+    rev_mask = jnp.flip(mask, axis=1)
+    rnn_out_r, em_r, out_r = _run_direction(
+        cfg, params["rnn_cell_reverse"], params["emission_sampler_reverse"],
+        h0_r, c0_r, rev_mask, key_r, deterministic, emission_mode)
+    rnn_out_r = jnp.flip(rnn_out_r, axis=1)
+    em_r = tuple(jnp.flip(p, axis=1) for p in em_r)
+    out_r = jnp.flip(out_r, axis=1)
+
+    offset_logits_f = mlp_mod.mlp_apply(params["offset_predictor"],
+                                        rnn_out_f).squeeze(-1)
+    offset_logits_r = mlp_mod.mlp_apply(params["offset_predictor_reverse"],
+                                        rnn_out_r).squeeze(-1)
+
+    log_w_l2r = math.log(1.0 - cfg.right2left_weight)
+    log_w_r2l = math.log(cfg.right2left_weight)
+    emission_loss = None
+    if ground_truth_out is not None:
+        d = dist.choose_distribution(cfg.emission_distr_name)
+        lp_f = -d.log_pdf(ground_truth_out, *em_f, mask=fmask[..., None])
+        lp_r = -d.log_pdf(ground_truth_out, *em_r, mask=fmask[..., None])
+        emission_loss = jax.nn.logsumexp(
+            jnp.stack([lp_f + log_w_l2r, lp_r + log_w_r2l]))
+    offset_loss = None
+    if ground_truth_offset is not None:
+        bce_f = _bce_with_logits_sum(offset_logits_f, ground_truth_offset,
+                                     fmask)
+        bce_r = _bce_with_logits_sum(offset_logits_r, ground_truth_offset,
+                                     fmask)
+        offset_loss = jax.nn.logsumexp(jnp.stack([bce_f, bce_r]))
+    return DecoderOutput(emission_loss, offset_loss, out_f, em_f,
+                         offset_logits_f, out_r, em_r, offset_logits_r)

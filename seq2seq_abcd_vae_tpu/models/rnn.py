@@ -1,0 +1,127 @@
+"""Recurrent cells and masked sequence scans (LSTM / GRU / Elman RNN).
+
+TPU-first replacement for the reference's cuDNN packed-sequence RNNs
+(reference: ABCD-VAE/modules/model.py:53,60-66,287-300):
+
+- variable lengths are handled with *padded arrays + boolean masks* instead
+  of PackedSequence: each batch compiles to one static-shaped XLA program,
+  and carries are frozen (``where(mask, new, old)``) once a row ends, which
+  reproduces the packed "shrinking batch" semantics exactly;
+- the input projection ``x @ W_ih`` for a whole sequence is hoisted out of
+  the scan into one large MXU matmul; only the recurrent (B,H)x(H,GH)
+  matmul stays inside ``lax.scan``;
+- the reverse direction is the same scan with ``reverse=True``; masking
+  makes short rows join late, matching packed bidirectional behavior.
+
+Gate orders follow torch: LSTM (i,f,g,o), GRU (r,z,n).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NUM_GATES = {"LSTM": 4, "GRU": 3, "RNN": 1}
+
+
+# ---------------------------------------------------------------------------
+# Single-step cells. `x_proj` is x @ w_ih + b_ih, possibly precomputed.
+# ---------------------------------------------------------------------------
+
+def lstm_step(params: dict, x_proj: jax.Array, h: jax.Array,
+              c: jax.Array) -> tuple[jax.Array, jax.Array]:
+    gates = x_proj + h @ params["w_hh"] + params["b_hh"]
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c2 = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h2 = jax.nn.sigmoid(o) * jnp.tanh(c2)
+    return h2, c2
+
+
+def gru_step(params: dict, x_proj: jax.Array, h: jax.Array) -> jax.Array:
+    hp = h @ params["w_hh"] + params["b_hh"]
+    xr, xz, xn = jnp.split(x_proj, 3, axis=-1)
+    hr, hz, hn = jnp.split(hp, 3, axis=-1)
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)  # torch applies r to (W_hn h + b_hn)
+    return (1.0 - z) * n + z * h
+
+
+def rnn_step(params: dict, x_proj: jax.Array, h: jax.Array) -> jax.Array:
+    return jnp.tanh(x_proj + h @ params["w_hh"] + params["b_hh"])
+
+
+def input_proj(params: dict, x: jax.Array) -> jax.Array:
+    """x (..., in) -> (..., gates*hidden); the hoisted MXU matmul."""
+    return x @ params["w_ih"] + params["b_ih"]
+
+
+def cell_apply(rnn_type: str, params: dict, x: jax.Array,
+               state: tuple[jax.Array, jax.Array]):
+    """Full cell step from raw input (decoder feedback path).
+
+    state is always an (h, c) pair; c is unused/zero for GRU/RNN so the
+    decoder scan has one uniform carry structure.
+    """
+    xp = input_proj(params, x)
+    h, c = state
+    if rnn_type == "LSTM":
+        return lstm_step(params, xp, h, c)
+    if rnn_type == "GRU":
+        h2 = gru_step(params, xp, h)
+    elif rnn_type == "RNN":
+        h2 = rnn_step(params, xp, h)
+    else:
+        raise ValueError(f"unknown rnn_type {rnn_type}")
+    return h2, c
+
+
+# ---------------------------------------------------------------------------
+# Masked full-sequence layer scan
+# ---------------------------------------------------------------------------
+
+def run_rnn_layer(rnn_type: str, params: dict, x: jax.Array, mask: jax.Array,
+                  reverse: bool = False):
+    """One direction of one recurrent layer over a padded batch.
+
+    Args:
+      x: (B, T, in) inputs.
+      mask: (B, T) validity; True while t < length.
+      reverse: scan t = T-1 .. 0 (right-to-left direction).
+
+    Returns:
+      outputs (B, T, H) — hidden state produced *at* each position (zeros
+        before a row joins in reverse; frozen after it ends in forward),
+      final (h, c): state after the row's last processed position, which
+        under masking equals the packed-sequence final state. c is zeros
+        for GRU/RNN.
+    """
+    b, t, _ = x.shape
+    hidden = params["w_hh"].shape[0]
+    xp = input_proj(params, x)  # (B, T, G) — one big matmul
+    xp_t = jnp.swapaxes(xp, 0, 1)  # (T, B, G)
+    mask_t = jnp.swapaxes(mask, 0, 1)[..., None]  # (T, B, 1)
+    h0 = jnp.zeros((b, hidden), x.dtype)
+    c0 = jnp.zeros((b, hidden), x.dtype)
+
+    def step(carry, inp):
+        h, c = carry
+        xpt, mt = inp
+        if rnn_type == "LSTM":
+            h2, c2 = lstm_step(params, xpt, h, c)
+        elif rnn_type == "GRU":
+            h2, c2 = gru_step(params, xpt, h), c
+        else:
+            h2, c2 = rnn_step(params, xpt, h), c
+        h = jnp.where(mt, h2, h)
+        c = jnp.where(mt, c2, c)
+        return (h, c), h
+
+    (h_n, c_n), outs = jax.lax.scan(step, (h0, c0), (xp_t, mask_t),
+                                    reverse=reverse)
+    return jnp.swapaxes(outs, 0, 1), (h_n, c_n)
+
+
+def lengths_to_mask(lengths: jax.Array, t: int) -> jax.Array:
+    """(B,) lengths -> (B, T) boolean mask."""
+    return jnp.arange(t, dtype=lengths.dtype)[None, :] < lengths[:, None]
