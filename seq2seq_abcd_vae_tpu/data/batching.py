@@ -1,0 +1,135 @@
+"""Bucketed padded batching — the TPU replacement for PackedSequence.
+
+Reference semantics reproduced (DataLoader, data_utils.py:150-185):
+shuffle without replacement, drop_last=False, batches consumed from the
+end of the shuffled list, rows sorted length-descending inside a batch,
+original pandas indices passed through (they become ``data_ix`` in the
+encode CSVs).
+
+TPU-first changes:
+- every batch is a static-shaped (B, L_bucket) float32 audio buffer with
+  reflection centering already materialized (see data.audio), plus frame
+  lengths; padding rows have length 0 and are masked out of every loss;
+- L is bucketed (default: next power of two over the frame count) so the
+  number of distinct compiled programs is O(log max_T), not O(#shapes);
+- is_offset targets are *derived on device* from lengths (t == length-1),
+  so nothing but audio crosses the host->device boundary.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from ..ops import stft as stft_ops
+from .audio import SegmentDataset, center_pad_segment
+
+
+def default_bucket_fn(num_frames: int, min_bucket: int = 32) -> int:
+    """Round the frame count up to the next power of two (>= min_bucket)."""
+    b = min_bucket
+    while b < num_frames:
+        b *= 2
+    return b
+
+
+@dataclass
+class RawBatch:
+    """Host-side batch: centered raw audio + bookkeeping.
+
+    audio: (B, L_bucket) float32, rows are [reflect|x|reflect|0-fill]
+    num_frames: (B,) int32 STFT frame counts (0 marks padding rows)
+    speakers: (B,) int32 (-1 when the dataset has no speakers)
+    ixs: original annotation indices for the real rows (len == num real)
+    bucket_frames: static T of this bucket
+    """
+    audio: np.ndarray
+    num_frames: np.ndarray
+    speakers: np.ndarray
+    ixs: list
+    bucket_frames: int
+
+    @property
+    def num_real(self) -> int:
+        return len(self.ixs)
+
+
+@dataclass
+class FrontendSpec:
+    """Static STFT frontend geometry shared by loader and device fn."""
+    frame_length: int
+    step_size: int
+    centering: bool = True
+    window: str = "hann_window"
+
+    @property
+    def pad(self) -> int:
+        return (stft_ops.center_pad_amount(self.frame_length)
+                if self.centering else 0)
+
+    def frames_for_samples(self, num_samples: int) -> int:
+        return stft_ops.stft_num_frames(num_samples, self.frame_length,
+                                        self.step_size, self.centering)
+
+    def buffer_len(self, bucket_frames: int) -> int:
+        return (bucket_frames - 1) * self.step_size + self.frame_length
+
+    @property
+    def num_bins(self) -> int:
+        return stft_ops.num_freq_bins(self.frame_length)
+
+
+class DataLoader:
+    """Iterates RawBatches over a SegmentDataset.
+
+    shuffle uses an explicit numpy Generator; each __iter__ reshuffles
+    (epoch behavior of the reference's RandomSampler).
+    """
+
+    def __init__(self, dataset: SegmentDataset, frontend: FrontendSpec,
+                 batch_size: int = 1, shuffle: bool = False,
+                 seed: int = 1111, pad_to_batch_size: bool = True,
+                 min_bucket: int = 32):
+        self.dataset = dataset
+        self.frontend = frontend
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.pad_to_batch_size = pad_to_batch_size
+        self.min_bucket = min_bucket
+        self._rng = np.random.default_rng(seed)
+
+    def get_num_batches(self) -> int:
+        n = len(self.dataset)
+        return -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[RawBatch]:
+        n = len(self.dataset)
+        order = (self._rng.permutation(n) if self.shuffle
+                 else np.arange(n))
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, n, self.batch_size)]
+        # consumed from the end, like the reference's list.pop()
+        for positional in reversed(batches):
+            yield self.make_batch(positional)
+
+    def make_batch(self, positional_ixs: Sequence[int]) -> RawBatch:
+        ds, fe = self.dataset, self.frontend
+        ixs = list(ds.sort_indices_by_length(list(positional_ixs)))
+        segs = [ds.segment_raw(ix) for ix in ixs]
+        frames = np.asarray([fe.frames_for_samples(len(s)) for s in segs],
+                            np.int32)
+        bucket = default_bucket_fn(int(frames.max()), self.min_bucket)
+        b = (self.batch_size if self.pad_to_batch_size else len(ixs))
+        audio = np.zeros((b, fe.buffer_len(bucket)), np.float32)
+        num_frames = np.zeros((b,), np.int32)
+        speakers = np.full((b,), -1, np.int32)
+        for i, (ix, seg) in enumerate(zip(ixs, segs)):
+            if fe.centering:
+                center_pad_segment(seg, fe.pad, audio[i])
+            else:
+                audio[i, :len(seg)] = seg
+            num_frames[i] = frames[i]
+            speakers[i] = ds.speaker_id(ix)
+        return RawBatch(audio, num_frames, speakers, ixs, bucket)

@@ -1,0 +1,161 @@
+"""End-to-end data pipeline parity: CSV -> segments -> centered audio ->
+device STFT vs the reference chain (scipy read + slice + torch.stft + log)
+(reference: ABCD-VAE/modules/data_utils.py + learning.py:464-466)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import scipy.io.wavfile as spw
+import torch
+
+from seq2seq_abcd_vae_tpu.data.annotations import AnnotationParser
+from seq2seq_abcd_vae_tpu.data.batching import DataLoader, FrontendSpec
+from seq2seq_abcd_vae_tpu.data.frontend import spectrogram_of_batch
+
+FS = 16000
+EPS = 2.0 ** -15
+NORM = 11.0
+
+
+@pytest.fixture
+def toy_root(tmp_path):
+    rng = np.random.default_rng(7)
+    wav = (rng.normal(size=5 * FS) * 3000).astype(np.int16)
+    spw.write(tmp_path / "a.wav", FS, wav)
+    wav2 = np.stack([
+        (rng.normal(size=3 * FS) * 2000), (rng.normal(size=3 * FS) * 500),
+    ], axis=1).astype(np.int16)
+    spw.write(tmp_path / "b.wav", FS, wav2)
+    rows = [
+        ("a.wav", 0.38, 0.81, "train", "s1", "A"),
+        ("a.wav", 0.81, 1.375, "train", "s2", "A"),
+        ("a.wav", 1.375, 1.9, "valid", "s1", "B"),
+        ("a.wav", 1.9, 2.15, "train", "s1", "C"),
+        ("b.wav", 0.2, 1.6, "train", "s2", "C"),
+        ("b.wav", 1.6, 2.9, "valid", "s2", "B"),
+        ("b.wav", 0.1, 2.7, "train", "s1", "A"),
+    ]
+    df = pd.DataFrame(rows, columns=["input_path", "onset", "offset",
+                                     "data_type", "speaker", "label"])
+    df.to_csv(tmp_path / "ann.csv", index=False)
+    return tmp_path
+
+
+def reference_segment_spectrogram(root, row, frame, step, channel=0):
+    """The reference's per-segment torch pipeline as an oracle."""
+    fs, data = spw.read(os.path.join(root, row["input_path"]))
+    if data.ndim > 1:
+        data = data[:, channel]
+    onset = int(round(row["onset"] * fs))
+    offset = int(round(row["offset"] * fs))
+    x = torch.from_numpy(data[onset:offset].astype(np.float32))
+    spec = torch.stft(x, frame, hop_length=step,
+                      window=torch.hann_window(frame), center=True,
+                      return_complex=True).abs().transpose(0, 1)
+    return (torch.log(spec + EPS) / NORM).numpy()
+
+
+def test_parser_speakers_and_bounds(toy_root):
+    p = AnnotationParser(str(toy_root), str(toy_root / "ann.csv"))
+    assert p.get_sample_freq() == FS
+    assert p.get_num_speakers() == 2
+    assert p.speaker2ix == {"s1": 0, "s2": 1}
+    train = p.get_data("train")
+    valid = p.get_data("valid")
+    assert len(train) == 5 and len(valid) == 2
+    allset = p.get_data(None)
+    assert len(allset) == 7
+
+
+def test_injected_speaker_coding(toy_root):
+    inject = {"s2": 0, "s1": 1}
+    p = AnnotationParser(str(toy_root), str(toy_root / "ann.csv"),
+                         speaker2ix=inject)
+    assert p.speaker2ix == inject
+    ds = p.get_data("train")
+    first = ds.df_annotation.index[0]
+    assert ds.speaker_id(first) == inject[ds.df_annotation.loc[first,
+                                                               "speaker"]]
+
+
+def test_pipeline_matches_reference_chain(toy_root):
+    frame, step = 128, 64
+    p = AnnotationParser(str(toy_root), str(toy_root / "ann.csv"))
+    ds = p.get_data("train")
+    fe = FrontendSpec(frame, step)
+    loader = DataLoader(ds, fe, batch_size=3, shuffle=False)
+    seen = set()
+    for batch in loader:
+        spec = np.asarray(spectrogram_of_batch(batch, fe, EPS, NORM))
+        for i, ix in enumerate(batch.ixs):
+            row = ds.df_annotation.loc[ix]
+            want = reference_segment_spectrogram(str(toy_root), row, frame,
+                                                 step)
+            t = batch.num_frames[i]
+            assert t == want.shape[0]
+            np.testing.assert_allclose(spec[i, :t], want, rtol=2e-4,
+                                       atol=2e-4, err_msg=f"segment {ix}")
+            seen.add(ix)
+        # padding rows are zero-length
+        for i in range(batch.num_real, batch.audio.shape[0]):
+            assert batch.num_frames[i] == 0
+    assert seen == set(ds.df_annotation.index)
+
+
+def test_multichannel_selection(toy_root):
+    frame, step = 128, 64
+    p = AnnotationParser(str(toy_root), str(toy_root / "ann.csv"))
+    ds = p.get_data("valid", channel=1)
+    fe = FrontendSpec(frame, step)
+    loader = DataLoader(ds, fe, batch_size=2)
+    batch = next(iter(loader))
+    spec = np.asarray(spectrogram_of_batch(batch, fe, EPS, NORM))
+    for i, ix in enumerate(batch.ixs):
+        row = ds.df_annotation.loc[ix]
+        if row["input_path"] != "b.wav":
+            continue
+        want = reference_segment_spectrogram(str(toy_root), row, frame, step,
+                                             channel=1)
+        np.testing.assert_allclose(spec[i, :batch.num_frames[i]], want,
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_batches_sorted_desc_and_shuffle_covers_all(toy_root):
+    p = AnnotationParser(str(toy_root), str(toy_root / "ann.csv"))
+    ds = p.get_data("train")
+    fe = FrontendSpec(128, 64)
+    loader = DataLoader(ds, fe, batch_size=2, shuffle=True, seed=3)
+    seen = []
+    for batch in loader:
+        lens = ds.df_annotation.loc[batch.ixs, "length"].to_numpy()
+        assert (np.diff(lens) <= 0).all()
+        seen += batch.ixs
+    assert sorted(seen) == sorted(ds.df_annotation.index)
+    # different epoch, different order (w.h.p.)
+    seen2 = [ix for b in loader for ix in b.ixs]
+    assert sorted(seen2) == sorted(seen)
+
+
+def test_no_centering(toy_root):
+    frame, step = 128, 64
+    p = AnnotationParser(str(toy_root), str(toy_root / "ann.csv"))
+    ds = p.get_data("train")
+    fe = FrontendSpec(frame, step, centering=False)
+    loader = DataLoader(ds, fe, batch_size=5)
+    batch = next(iter(loader))
+    spec = np.asarray(spectrogram_of_batch(batch, fe, EPS, NORM))
+    row = ds.df_annotation.loc[batch.ixs[0]]
+    fs, data = spw.read(os.path.join(str(toy_root), row["input_path"]))
+    if data.ndim > 1:
+        data = data[:, 0]
+    x = torch.from_numpy(
+        data[int(round(row["onset"] * fs)):int(round(row["offset"] * fs))]
+        .astype(np.float32))
+    want = torch.stft(x, frame, hop_length=step,
+                      window=torch.hann_window(frame),
+                      center=False, return_complex=True).abs().T
+    want = (torch.log(want + EPS) / NORM).numpy()
+    np.testing.assert_allclose(spec[0, :batch.num_frames[0]], want,
+                               rtol=2e-4, atol=2e-4)
