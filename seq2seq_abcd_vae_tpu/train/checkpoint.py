@@ -1,0 +1,52 @@
+"""Self-describing rolling checkpoint (single overwritten ``checkpoint.pt``).
+
+Keeps the reference's checkpoint contract (ABCD-VAE/learning.py:293-347):
+one rolling file per run dir; each module's parameters are stored beside
+its ``*_init_parameters`` dict so ``retrieve_model`` can rebuild the model
+without the original CLI flags; optimizer, lr-scheduler, gradient clip and
+RNG state ride along for bit-faithful resume.  Writes are atomic
+(tmp + rename) — the retry-on-I/O-error the reference documents but never
+implemented (learning.py:294-297).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import tempfile
+from typing import Any
+
+import jax
+import numpy as np
+
+CHECKPOINT_NAME = "checkpoint.pt"
+
+
+def tree_to_numpy(tree):
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def tree_to_device(tree, device=None):
+    def put(x):
+        if isinstance(x, np.ndarray) or np.isscalar(x):
+            return jax.device_put(x, device)
+        return x
+    return jax.tree_util.tree_map(put, tree)
+
+
+def save_checkpoint(save_dir: str, payload: dict[str, Any]) -> str:
+    path = os.path.join(save_dir, CHECKPOINT_NAME)
+    fd, tmp = tempfile.mkstemp(dir=save_dir, suffix=".ckpt.tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return path
+
+
+def load_checkpoint(path: str) -> dict[str, Any]:
+    with open(path, "rb") as f:
+        return pickle.load(f)

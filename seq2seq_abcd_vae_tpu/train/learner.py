@@ -1,0 +1,532 @@
+"""Learner: the training/validation runtime.
+
+Reference: Learner, ABCD-VAE/learning.py:36-347 (and plain/learning.py's
+Gaussian variant — here a ``latent_type`` config choice, not a second code
+tree).  Contract kept:
+
+- ``save_dir/history.log`` is both the metric log (same line formats — the
+  de-facto metric API) and the resume marker;
+- single rolling self-describing ``checkpoint.pt`` with module init-param
+  dicts, optimizer/scheduler state and RNG state;
+- SGD + global-norm clip + ReduceLROnPlateau on mean validation loss;
+  pretraining epochs run the ABCD head without Gumbel-Softmax sampling and
+  do not advance the temperature counter; at pretraining end the scheduler
+  best is reset (learning.py:273,164-165,283-286);
+- losses are per-batch sums normalized by the real row count; epoch lines
+  report per-string means (learning.py:155-157,188-195).
+
+TPU-first runtime: the whole step — STFT frontend, encoder, latent head,
+decoder, loss, grads, SGD update — is one jitted XLA program per bucket
+shape.  Matmul precision defaults to float32 ('highest') for parity; set
+``matmul_precision='default'`` to let the MXU use bf16 passes.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import (ABCDSamplerConfig, DecoderConfig, EncoderConfig,
+                       GaussianSamplerConfig)
+from ..data.batching import DataLoader, FrontendSpec, RawBatch
+from ..models import abcd as abcd_mod
+from ..models import vae
+from ..ops import stft as stft_ops
+from . import checkpoint as ckpt
+from . import optim
+from .logging_utils import logger, update_log_handler
+
+
+@dataclass(frozen=True)
+class StepStatics:
+    """Everything shape-/code-determining for the jitted step."""
+    model: vae.ModelConfig
+    frame_length: int
+    step_size: int
+    window: str
+    epsilon: float
+    normalizer: float
+    stft_method: str = "fft"
+
+
+def _frontend(statics: StepStatics, audio: jax.Array,
+              bucket_frames: int) -> jax.Array:
+    return stft_ops.log_spectrogram(
+        audio, statics.frame_length, statics.step_size, bucket_frames,
+        statics.epsilon, statics.normalizer, window=statics.window,
+        method=statics.stft_method)
+
+
+def _losses_and_metrics(params, statics: StepStatics, audio, num_frames,
+                        speakers, key, entire_n, temperature, no_sample,
+                        deterministic, bucket_frames):
+    cfg = statics.model
+    inputs = _frontend(statics, audio, bucket_frames)
+    is_offset = (jnp.arange(bucket_frames, dtype=num_frames.dtype)[None, :]
+                 == num_frames[:, None] - 1).astype(inputs.dtype)
+    batch = {"inputs": inputs, "lengths": num_frames, "speakers": speakers,
+             "is_offset": is_offset}
+    loss, aux = vae.training_loss(
+        params, cfg, batch, key, entire_n, temperature=temperature,
+        no_sample=no_sample, deterministic=deterministic)
+    metrics = {
+        "loss": loss,
+        "emission_loss": aux["emission_loss"],
+        "offset_loss": aux["offset_loss"],
+        "kl_loss": aux["kl_loss"],
+        "num_rows": aux["num_rows"],
+    }
+    if cfg.latent_type == "abcd":
+        row_mask = (num_frames > 0).astype(inputs.dtype)
+        probs = jax.nn.softmax(aux["category_logits"], -1)
+        ent = -jnp.sum(probs * jnp.log(probs), -1)
+        metrics["clustering_perplex"] = jnp.exp(
+            jnp.sum(ent * row_mask) / aux["num_rows"])
+        mean_probs = (jnp.sum(probs * row_mask[:, None], 0)
+                      / aux["num_rows"])
+        mean_probs = mean_probs / jnp.sum(mean_probs)
+        metrics["batch_perplex"] = jnp.exp(
+            -jnp.sum(mean_probs * jnp.log(mean_probs)))
+        shape = jax.nn.softmax(
+            params["feature_sampler"]["posterior_shape_logits"], -1)
+        metrics["posterior_shape_perplex"] = jnp.exp(
+            -jnp.sum(shape * jnp.log(shape)))
+    return loss, metrics
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "statics", "no_sample", "bucket_frames", "tx"))
+def _train_step(params, opt_state, audio, num_frames, speakers, key,
+                entire_n, temperature, *, statics: StepStatics,
+                no_sample: bool, bucket_frames: int, tx):
+    def loss_fn(p):
+        return _losses_and_metrics(p, statics, audio, num_frames, speakers,
+                                   key, entire_n, temperature, no_sample,
+                                   False, bucket_frames)
+    grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    return params, opt_state, metrics
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "statics", "no_sample", "bucket_frames"))
+def _eval_step(params, audio, num_frames, speakers, key, entire_n,
+               temperature, *, statics: StepStatics, no_sample: bool,
+               bucket_frames: int):
+    _, metrics = _losses_and_metrics(params, statics, audio, num_frames,
+                                     speakers, key, entire_n, temperature,
+                                     no_sample, True, bucket_frames)
+    return metrics
+
+
+class Learner:
+    """Builds (or retrieves) the model and runs the training loop."""
+
+    def __init__(self,
+                 input_size: Optional[int] = None,
+                 encoder_rnn_hidden_size: int = 256,
+                 decoder_rnn_hidden_size: int = 256,
+                 mlp_hidden_size: int = 256,
+                 num_feature_categories: Optional[int] = None,  # abcd
+                 feature_dim: Optional[int] = None,             # abcd
+                 feature_size: Optional[int] = None,            # gaussian
+                 save_dir: str = ".",
+                 latent_type: str = "abcd",
+                 feature_distribution: str = "isotropic_gaussian",
+                 encoder_rnn_type: str = "LSTM",
+                 decoder_rnn_type: str = "LSTM",
+                 encoder_rnn_layers: int = 1,
+                 bidirectional_encoder: bool = True,
+                 bidirectional_decoder: bool = False,
+                 right2left_decoder_weight: float = 0.5,
+                 encoder_hidden_dropout: float = 0.0,
+                 decoder_input_dropout: float = 0.0,
+                 device: str = "",
+                 seed: int = 1111,
+                 emission_distribution: str = "isotropic_gaussian",
+                 decoder_self_feedback: bool = True,
+                 esn_leak: float = 1.0,
+                 num_speakers: Optional[int] = None,
+                 speaker_embed_dim: Optional[int] = None,
+                 prior_concentration: float = 1.0,
+                 matmul_precision: str = "highest",
+                 stft_method: str = "fft"):
+        self.retrieval, self.log_file_path = update_log_handler(save_dir)
+        self.save_dir = save_dir
+        self.stft_method = stft_method
+        if matmul_precision:
+            jax.config.update("jax_default_matmul_precision",
+                              matmul_precision)
+        self.device = self._pick_device(device)
+        logger.info("Device: {device}".format(
+            device=device or str(self.device)))
+
+        if self.retrieval:
+            self.last_epoch = self.retrieve_model(device=device)
+            logger.info("Model retrieved.")
+            return
+
+        self.key = jax.random.PRNGKey(seed)
+        if encoder_hidden_dropout > 0.0 and encoder_rnn_layers == 1:
+            logger.warning(
+                "Non-zero dropout cannot be used for the single-layer "
+                "encoder RNN (because there is no non-top hidden layers).")
+            logger.info("encoder_hidden_dropout reset from {do} to "
+                        "0.0.".format(do=encoder_hidden_dropout))
+            encoder_hidden_dropout = 0.0
+
+        enc_cfg = EncoderConfig(
+            input_size, encoder_rnn_hidden_size, rnn_type=encoder_rnn_type,
+            rnn_layers=encoder_rnn_layers,
+            hidden_dropout=encoder_hidden_dropout,
+            bidirectional=bidirectional_encoder, esn_leak=esn_leak)
+        if latent_type == "abcd":
+            latent_cfg = ABCDSamplerConfig(
+                enc_cfg.hidden_size_total, mlp_hidden_size,
+                num_feature_categories, feature_dim,
+                prior_concentration=prior_concentration)
+            latent_width = feature_dim
+        else:
+            latent_cfg = GaussianSamplerConfig(
+                enc_cfg.hidden_size_total, mlp_hidden_size, feature_size,
+                distribution_name=feature_distribution)
+            latent_width = feature_size
+        dec_cfg = DecoderConfig(
+            input_size, decoder_rnn_hidden_size, mlp_hidden_size,
+            latent_width, emission_distr_name=emission_distribution,
+            rnn_type=decoder_rnn_type, input_dropout=decoder_input_dropout,
+            self_feedback=decoder_self_feedback,
+            bidirectional=bidirectional_decoder,
+            right2left_weight=right2left_decoder_weight, esn_leak=esn_leak,
+            num_speakers=num_speakers, speaker_embed_dim=speaker_embed_dim)
+        self.model_cfg = vae.ModelConfig(enc_cfg, latent_cfg, dec_cfg)
+        self.key, init_key = jax.random.split(self.key)
+        with jax.default_device(self.device):
+            self.params = vae.model_init(init_key, self.model_cfg)
+        self.iter_counts = 0
+        self.epoch_init_iter_counts = 0
+
+        if latent_type == "abcd":
+            logger.info("Data are encoded into one of {num_cat} possible "
+                        "{feature_dim}-dim feature vectors.".format(
+                            num_cat=num_feature_categories,
+                            feature_dim=feature_dim))
+            logger.info("Discrete categories are assumed to be distributed "
+                        "according to Categorical(pi), with Dirichlet({}) "
+                        "prior on pi.".format(prior_concentration))
+            logger.info("Conditioned on the RNN-transformed features, data "
+                        "are assumed to be distributed according to "
+                        "{emission_distribution}".format(
+                            emission_distribution=emission_distribution))
+        else:
+            logger.info("Data to be encoded into {feature_size}-dim "
+                        "features.".format(feature_size=feature_size))
+            logger.info("Features are assumed to be distributed according "
+                        "to {feature_distribution}.".format(
+                            feature_distribution=feature_distribution))
+            logger.info("Conditioned on the features, data are assumed to "
+                        "be distributed according to "
+                        "{emission_distribution}".format(
+                            emission_distribution=emission_distribution))
+        logger.info("Random seed: {seed}".format(seed=seed))
+        logger.info("Type of RNN used for the encoder: {rnn_type}".format(
+            rnn_type=encoder_rnn_type))
+        logger.info("Type of RNN used for the decoder: {rnn_type}".format(
+            rnn_type=decoder_rnn_type))
+        logger.info("# of RNN hidden layers in the encoder RNN: {hl}".format(
+            hl=encoder_rnn_layers))
+        logger.info("# of hidden units in the encoder RNNs: {hs}".format(
+            hs=encoder_rnn_hidden_size))
+        logger.info("# of hidden units in the decoder RNNs: {hs}".format(
+            hs=decoder_rnn_hidden_size))
+        logger.info("# of hidden units in the MLPs: {hs}".format(
+            hs=mlp_hidden_size))
+        if bidirectional_encoder:
+            logger.info("Encoder is bidirectional.")
+        if bidirectional_decoder:
+            logger.info("Decoder is bidirectional.")
+            logger.info("Probability of emission by the right-to-left "
+                        "decoder: {p}".format(p=right2left_decoder_weight))
+        logger.info("Dropout rate in the non-top layers of the encoder "
+                    "RNN: {do}".format(do=encoder_hidden_dropout))
+        logger.info("Self-feedback to the decoder: "
+                    "{decoder_self_feedback}".format(
+                        decoder_self_feedback=decoder_self_feedback))
+        if decoder_self_feedback:
+            logger.info("Dropout rate in the input to the decoder RNN: "
+                        "{do}".format(do=decoder_input_dropout))
+        if encoder_rnn_type == "ESN" or decoder_rnn_type == "ESN":
+            logger.info("ESN leak: {leak}".format(leak=esn_leak))
+        if speaker_embed_dim is not None:
+            logger.info("Speaker ID # is embedded and fed to the decoder.")
+            logger.info("# of speakers: {num_speakers}".format(
+                num_speakers=num_speakers))
+            logger.info("Embedding dimension: {speaker_embed_dim}".format(
+                speaker_embed_dim=speaker_embed_dim))
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _pick_device(device: str):
+        if device.startswith("cpu"):
+            return jax.devices("cpu")[0]
+        return jax.devices()[0]
+
+    @property
+    def latent_type(self) -> str:
+        return self.model_cfg.latent_type
+
+    def _statics(self, frontend: FrontendSpec, epsilon: float,
+                 normalizer: float) -> StepStatics:
+        return StepStatics(self.model_cfg, frontend.frame_length,
+                           frontend.step_size, frontend.window, epsilon,
+                           normalizer, self.stft_method)
+
+    def _temperature(self) -> float:
+        if self.latent_type != "abcd":
+            return 1.0
+        return float(abcd_mod.temperature_for_iter(self.model_cfg.latent,
+                                                   self.iter_counts))
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # ------------------------------------------------------------------
+    def train(self, dataloader: DataLoader, statics: StepStatics,
+              is_pretraining: bool = False) -> None:
+        emission_loss = 0.0
+        end_prediction_loss = 0.0
+        kl_loss = 0.0
+        num_batches = dataloader.get_num_batches()
+        num_strings = len(dataloader.dataset)
+
+        for batch_ix, batch in enumerate(dataloader, 1):
+            self.params, self.opt_state, metrics = _train_step(
+                self.params, self.opt_state, batch.audio, batch.num_frames,
+                batch.speakers, self._next_key(), float(num_strings),
+                self._temperature(), statics=statics,
+                no_sample=bool(is_pretraining and self.latent_type == "abcd"),
+                bucket_frames=batch.bucket_frames, tx=self._tx)
+            if self.latent_type == "abcd" and not is_pretraining:
+                self.iter_counts += 1
+
+            emission_loss += float(metrics["emission_loss"])
+            end_prediction_loss += float(metrics["offset_loss"])
+            kl_loss += float(metrics["kl_loss"])
+            if self.latent_type == "abcd":
+                logger.info(
+                    "{batch_ix}/{num_batches} training batches complete. "
+                    "mean loss: {loss:5.4f}. Perplexity of the posterior "
+                    "clustering probs.: {cluster_perplex:5.4f}. Perplexity "
+                    "of the mean clustering probs. over minibatch: "
+                    "{batch_perplex:5.4f}. Perplexity of the posterior "
+                    "Dirichlet shape: {shape_perplex:5.4f}".format(
+                        batch_ix=batch_ix, num_batches=num_batches,
+                        loss=float(metrics["loss"]),
+                        shape_perplex=float(
+                            metrics["posterior_shape_perplex"]),
+                        batch_perplex=float(metrics["batch_perplex"]),
+                        cluster_perplex=float(
+                            metrics["clustering_perplex"])))
+            else:
+                logger.info(
+                    "{batch_ix}/{num_batches} training batches complete. "
+                    "mean loss: {loss:5.4f}".format(
+                        batch_ix=batch_ix, num_batches=num_batches,
+                        loss=float(metrics["loss"])))
+
+        emission_loss /= num_strings
+        end_prediction_loss /= num_strings
+        kl_loss /= num_strings
+        mean_loss = emission_loss + end_prediction_loss + kl_loss
+        logger.info("mean training emission negative pdf loss (per string): "
+                    "{:5.4f}".format(emission_loss))
+        logger.info("mean training end-prediction loss (per string): "
+                    "{:5.4f}".format(end_prediction_loss))
+        logger.info("mean training KL (per string): {:5.4f}".format(kl_loss))
+        logger.info("mean training total loss (per string): "
+                    "{:5.4f}".format(mean_loss))
+        self.epoch_init_iter_counts = self.iter_counts
+
+    def test_or_validate(self, dataloader: DataLoader, statics: StepStatics,
+                         is_pretraining: bool = False) -> float:
+        emission_loss = 0.0
+        end_prediction_loss = 0.0
+        kl_loss = 0.0
+        num_batches = dataloader.get_num_batches()
+        num_strings = len(dataloader.dataset)
+
+        for batch_ix, batch in enumerate(dataloader, 1):
+            metrics = _eval_step(
+                self.params, batch.audio, batch.num_frames, batch.speakers,
+                self._next_key(), float(num_strings), self._temperature(),
+                statics=statics,
+                no_sample=bool(is_pretraining and self.latent_type == "abcd"),
+                bucket_frames=batch.bucket_frames)
+            emission_loss += float(metrics["emission_loss"])
+            end_prediction_loss += float(metrics["offset_loss"])
+            kl_loss += float(metrics["kl_loss"])
+            logger.info("{batch_ix}/{num_batches} validation batches "
+                        "complete.".format(batch_ix=batch_ix,
+                                           num_batches=num_batches))
+
+        emission_loss /= num_strings
+        end_prediction_loss /= num_strings
+        kl_loss /= num_strings
+        mean_loss = emission_loss + end_prediction_loss + kl_loss
+        logger.info("mean validation emission negative pdf loss (per "
+                    "string): {:5.4f}".format(emission_loss))
+        logger.info("mean validation end-prediction loss (per string): "
+                    "{:5.4f}".format(end_prediction_loss))
+        logger.info("mean validation KL (per string): "
+                    "{:5.4f}".format(kl_loss))
+        logger.info("mean validation total loss (per string): "
+                    "{:5.4f}".format(mean_loss))
+        return mean_loss
+
+    # ------------------------------------------------------------------
+    def learn(self, train_dataset, valid_dataset, num_epochs,
+              batch_size_train, batch_size_valid, frontend: FrontendSpec,
+              epsilon: float = 2.0 ** -15, data_normalizer: float = 1.0,
+              pretrain_epochs: int = 0, learning_rate: float = 0.1,
+              momentum: float = 0.9, gradient_clip: float = 0.25,
+              patience: int = 0) -> None:
+        train_dataloader = DataLoader(train_dataset, frontend,
+                                      batch_size=batch_size_train,
+                                      shuffle=True)
+        valid_dataloader = DataLoader(valid_dataset, frontend,
+                                      batch_size=batch_size_valid)
+        statics = self._statics(frontend, epsilon, data_normalizer)
+
+        if self.retrieval:
+            initial_epoch = self.last_epoch + 1
+            logger.info("To be restarted from the beginning of epoch #: "
+                        "{epoch}".format(epoch=initial_epoch))
+            self.gradient_clip = self.checkpoint["gradient_clip"]
+            momentum = self.checkpoint.get("momentum", momentum)
+            self._momentum = momentum
+            self._tx = optim.make_optimizer(learning_rate, momentum,
+                                            self.gradient_clip)
+            self.opt_state = ckpt.tree_to_device(
+                self.checkpoint["optimizer"], self.device)
+            self.lr_scheduler = optim.ReduceLROnPlateau()
+            self.lr_scheduler.load_state_dict(
+                self.checkpoint["lr_scheduler"])
+        else:
+            self.gradient_clip = gradient_clip
+            self._momentum = momentum
+            self._tx = optim.make_optimizer(learning_rate, momentum,
+                                            gradient_clip)
+            self.opt_state = self._tx.init(self.params)
+            self.lr_scheduler = optim.ReduceLROnPlateau(patience=patience)
+            logger.info("START LEARNING.")
+            logger.info("max # of epochs: {ep}".format(ep=num_epochs))
+            if self.latent_type == "abcd":
+                logger.info("first {} epochs are for pretraining w/o "
+                            "gumbel-softmax sampling.".format(
+                                pretrain_epochs))
+            logger.info("batch size for training data: {size}".format(
+                size=batch_size_train))
+            logger.info("batch size for validation data: {size}".format(
+                size=batch_size_valid))
+            logger.info("initial learning rate: {lr}".format(
+                lr=learning_rate))
+            logger.info("momentum for SGD: {momentum}".format(
+                momentum=momentum))
+            logger.info("gradient clipping: {gc}".format(
+                gc=self.gradient_clip))
+            initial_epoch = 1
+
+        for epoch in range(initial_epoch, num_epochs + 1):
+            logger.info("START OF EPOCH: {:3d}".format(epoch))
+            logger.info("current learning rate: {lr}".format(
+                lr=optim.get_learning_rate(self.opt_state)))
+            is_pretrain = (self.latent_type == "abcd"
+                           and epoch <= pretrain_epochs)
+
+            logger.info("start of TRAINING phase.")
+            self.train(train_dataloader, statics, is_pretrain)
+            logger.info("end of TRAINING phase.")
+
+            logger.info("start of VALIDATION phase.")
+            mean_valid_loss = self.test_or_validate(valid_dataloader,
+                                                    statics, is_pretrain)
+            logger.info("end of VALIDATION phase.")
+
+            new_lr = self.lr_scheduler.step(
+                mean_valid_loss, optim.get_learning_rate(self.opt_state))
+            optim.set_learning_rate(self.opt_state, new_lr)
+            if self.latent_type == "abcd" and epoch == pretrain_epochs:
+                self.lr_scheduler.reset_best()
+                logger.info("END OF PRETRAINING.")
+            self.save_model(epoch)
+            logger.info("END OF EPOCH: {:3d}".format(epoch))
+
+        logger.info("END OF TRAINING")
+
+    # ------------------------------------------------------------------
+    def save_model(self, epoch: int) -> None:
+        latent_init = self.model_cfg.latent.pack_init_parameters()
+        if self.latent_type == "abcd":
+            latent_init["epoch_init_iter_counts"] = (
+                self.epoch_init_iter_counts)
+        payload = {
+            "epoch": epoch,
+            "latent_type": self.latent_type,
+            "encoder": ckpt.tree_to_numpy(self.params["encoder"]),
+            "encoder_init_parameters":
+                self.model_cfg.encoder.pack_init_parameters(),
+            "feature_sampler":
+                ckpt.tree_to_numpy(self.params["feature_sampler"]),
+            "feature_sampler_init_parameters": latent_init,
+            "decoder": ckpt.tree_to_numpy(self.params["decoder"]),
+            "decoder_init_parameters":
+                self.model_cfg.decoder.pack_init_parameters(),
+            "optimizer": ckpt.tree_to_numpy(self.opt_state),
+            "momentum": getattr(self, "_momentum", 0.0),
+            "lr_scheduler": self.lr_scheduler.state_dict(),
+            "gradient_clip": self.gradient_clip,
+            "random_state": np.asarray(self.key),
+        }
+        ckpt.save_checkpoint(self.save_dir, payload)
+        logger.info("Config successfully saved.")
+
+    def retrieve_model(self, checkpoint_path: Optional[str] = None,
+                       device: str = "") -> int:
+        if checkpoint_path is None:
+            checkpoint_path = os.path.join(self.save_dir,
+                                           ckpt.CHECKPOINT_NAME)
+        self.checkpoint = ckpt.load_checkpoint(checkpoint_path)
+        c = self.checkpoint
+
+        enc_cfg = EncoderConfig.from_init_parameters(
+            c["encoder_init_parameters"])
+        latent_init = dict(c["feature_sampler_init_parameters"])
+        if c.get("latent_type", "abcd") == "abcd":
+            latent_cfg = ABCDSamplerConfig.from_init_parameters(latent_init)
+            self.iter_counts = latent_cfg.epoch_init_iter_counts
+            self.epoch_init_iter_counts = latent_cfg.epoch_init_iter_counts
+        else:
+            latent_cfg = GaussianSamplerConfig.from_init_parameters(
+                latent_init)
+            self.iter_counts = 0
+            self.epoch_init_iter_counts = 0
+        dec_cfg = DecoderConfig.from_init_parameters(
+            c["decoder_init_parameters"])
+        self.model_cfg = vae.ModelConfig(enc_cfg, latent_cfg, dec_cfg)
+        self.params = ckpt.tree_to_device({
+            "encoder": c["encoder"],
+            "feature_sampler": c["feature_sampler"],
+            "decoder": c["decoder"],
+        }, self.device)
+        self.gradient_clip = c["gradient_clip"]
+        self.key = jnp.asarray(c["random_state"])
+        return c["epoch"]

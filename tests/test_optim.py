@@ -1,0 +1,86 @@
+"""Optimizer / scheduler parity vs torch (SGD + clip_grad_norm_ +
+ReduceLROnPlateau, reference: ABCD-VAE/learning.py:158-163,245-288)."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from seq2seq_abcd_vae_tpu.train import optim
+
+
+def test_sgd_with_clip_matches_torch(rng):
+    w0 = rng.normal(size=(4, 3)).astype(np.float32)
+    grads = [rng.normal(size=(4, 3)).astype(np.float32) * s
+             for s in (0.1, 5.0, 1.0)]  # middle one triggers clipping
+    lr, mom, clip = 0.5, 0.9, 1.0
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.SGD([tw], lr=lr, momentum=mom)
+    for g in grads:
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        torch.nn.utils.clip_grad_norm_([tw], clip)
+        topt.step()
+
+    tx = optim.make_optimizer(lr, mom, clip)
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_learning_rate_injection():
+    tx = optim.make_optimizer(1.0, 0.0, 10.0)
+    params = {"w": jnp.ones(3)}
+    state = tx.init(params)
+    assert optim.get_learning_rate(state) == 1.0
+    optim.set_learning_rate(state, 0.1)
+    updates, state = tx.update({"w": jnp.ones(3)}, state, params)
+    np.testing.assert_allclose(np.asarray(updates["w"]), -0.1, rtol=1e-6)
+
+
+def test_plateau_matches_torch_scheduler(rng):
+    metrics = [10.0, 9.0, 9.0, 9.0, 8.0, 8.0, 8.0, 8.0, 7.9999, 5.0, 5.0,
+               5.0, 5.0]
+    for patience in (0, 2):
+        tw = torch.nn.Parameter(torch.zeros(1))
+        topt = torch.optim.SGD([tw], lr=1.0)
+        tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            topt, patience=patience)
+        ours = optim.ReduceLROnPlateau(patience=patience)
+        lr = 1.0
+        for m in metrics:
+            tsched.step(m)
+            lr = ours.step(m, lr)
+            np.testing.assert_allclose(lr, topt.param_groups[0]["lr"],
+                                       rtol=1e-9, err_msg=f"p={patience}")
+
+
+def test_plateau_best_reset_forces_no_immediate_reduction():
+    s = optim.ReduceLROnPlateau(patience=0)
+    lr = s.step(1.0, 1.0)  # best=1.0
+    s.reset_best()
+    lr = s.step(100.0, lr)  # would be 'bad' but best was reset -> no...
+    # after reset, 100.0 is not better than inf? it IS better (100 < inf)
+    assert s.best == 100.0
+    assert lr == 1.0
+
+
+def test_plateau_state_roundtrip():
+    s = optim.ReduceLROnPlateau(patience=3)
+    lr = 1.0
+    for m in (5.0, 6.0, 6.0):
+        lr = s.step(m, lr)
+    s2 = optim.ReduceLROnPlateau()
+    s2.load_state_dict(s.state_dict())
+    for m in (6.0, 6.0, 6.0, 6.0):
+        a = s.step(m, lr)
+        b = s2.step(m, lr)
+        assert a == b
+        lr = a
