@@ -1,0 +1,148 @@
+"""Post-training encoding of datasets.
+
+Reference: the Encoder(Learner) subclasses in ABCD-VAE/encode.py:12-61,
+encode_logit.py, encode_features.py and plain/encode.py:12-52.  One module
+serves all four: the ``mode`` selects the head, the writers reproduce each
+script's CSV layout byte-for-byte:
+
+- mode='probs'    -> long (data_ix, category_ix, prob), streamed appends
+- mode='logits'   -> long (data_ix, dimension, logit)
+- mode='features' -> long (data_ix, dimension, feature_value)
+- mode='params'   -> plain-VAE long (data_ix, parameter_name, feature_dim,
+                     parameter_value), written once, sorted
+
+A ``.prev`` backup chain protects existing result files
+(encode.py:57-61).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..data.batching import DataLoader, FrontendSpec, RawBatch
+from ..models import abcd as abcd_mod
+from ..models import encoder as enc_mod
+from ..models import sampler as sampler_mod
+from ..ops import stft as stft_ops
+from ..train.learner import Learner, StepStatics
+
+
+def rename_existing_file(filepath: str) -> None:
+    """Keep a .prev chain instead of overwriting (encode.py:57-61)."""
+    if os.path.isfile(filepath):
+        new_path = filepath + ".prev"
+        rename_existing_file(new_path)
+        os.rename(filepath, new_path)
+
+
+@functools.partial(jax.jit, static_argnames=("statics", "bucket_frames",
+                                             "mode"))
+def _encode_step(params, audio, num_frames, *, statics: StepStatics,
+                 bucket_frames: int, mode: str):
+    inputs = stft_ops.log_spectrogram(
+        audio, statics.frame_length, statics.step_size, bucket_frames,
+        statics.epsilon, statics.normalizer, window=statics.window,
+        method=statics.stft_method)
+    last_hidden = enc_mod.encoder_apply(params["encoder"],
+                                        statics.model.encoder, inputs,
+                                        num_frames)
+    head = params["feature_sampler"]
+    if mode == "features":
+        return abcd_mod.abcd_code(head, last_hidden)
+    if mode == "params":
+        return sampler_mod.sampler_apply(head, last_hidden)
+    logits = abcd_mod.abcd_logits(head, last_hidden)
+    if mode == "logits":
+        return logits
+    return jax.nn.softmax(logits, -1)
+
+
+class Encoder(Learner):
+    """Inference-only Learner: loads a checkpoint, freezes, encodes.
+
+    (reference: encode.py:12-20 — skips logging setup entirely)
+    """
+
+    def __init__(self, model_config_path: str, device: str = "",
+                 matmul_precision: str = "highest",
+                 stft_method: str = "fft"):
+        if matmul_precision:
+            jax.config.update("jax_default_matmul_precision",
+                              matmul_precision)
+        self.stft_method = stft_method
+        self.device = self._pick_device(device)
+        self.save_dir = os.path.dirname(model_config_path)
+        self.retrieve_model(checkpoint_path=model_config_path, device=device)
+
+    def encode_batch(self, batch: RawBatch, statics: StepStatics,
+                     mode: str):
+        out = _encode_step(self.params, batch.audio, batch.num_frames,
+                           statics=statics, bucket_frames=batch.bucket_frames,
+                           mode=mode)
+        n = batch.num_real
+        if mode == "params":
+            return tuple(np.asarray(p)[:n] for p in out)
+        return np.asarray(out)[:n]
+
+    # ------------------------------------------------------------------
+    def encode_dataset(self, dataset, save_path: str, frontend: FrontendSpec,
+                       epsilon: float, normalizer: float, mode: str = "probs",
+                       batch_size: int = 1) -> None:
+        """Streamed long-format CSV (abcd encode variants,
+        encode.py:38-55)."""
+        value_col = {"probs": "prob", "logits": "logit",
+                     "features": "feature_value"}[mode]
+        var_col = "category_ix" if mode == "probs" else "dimension"
+        statics = self._statics(frontend, epsilon, normalizer)
+        dataloader = DataLoader(dataset, frontend, batch_size=batch_size)
+        rename_existing_file(save_path)
+        if "label" in dataset.df_annotation.columns:
+            df_ann = dataset.df_annotation.drop(
+                columns=["onset_ix", "offset_ix", "length"])
+        else:
+            df_ann = None
+        for batch in dataloader:
+            values = self.encode_batch(batch, statics, mode)
+            df_encoded = pd.DataFrame(values)
+            df_encoded.loc[:, "data_ix"] = list(batch.ixs)
+            df_encoded = df_encoded.melt(id_vars=["data_ix"],
+                                         var_name=var_col,
+                                         value_name=value_col)
+            if df_ann is not None:
+                df_encoded = df_encoded.merge(df_ann, how="left",
+                                              left_on="data_ix",
+                                              right_index=True)
+            if os.path.isfile(save_path):
+                df_encoded.to_csv(save_path, index=False, mode="a",
+                                  header=False)
+            else:
+                df_encoded.to_csv(save_path, index=False)
+
+    def encode_dataset_params(self, dataset, frontend: FrontendSpec,
+                              epsilon: float, normalizer: float,
+                              parameter_ix2name: Optional[dict] = None,
+                              batch_size: int = 1) -> pd.DataFrame:
+        """Plain-VAE parameter dump (plain/encode.py:37-52)."""
+        if parameter_ix2name is None:
+            parameter_ix2name = {}
+        statics = self._statics(frontend, epsilon, normalizer)
+        dataloader = DataLoader(dataset, frontend, batch_size=batch_size)
+        encoded = []
+        for batch in dataloader:
+            param_tuple = self.encode_batch(batch, statics, "params")
+            for parameter_ix, p in enumerate(param_tuple):
+                name = parameter_ix2name.get(parameter_ix, parameter_ix)
+                for row_ix, data_ix in enumerate(batch.ixs):
+                    encoded += [(data_ix, name, feature_dim, value)
+                                for feature_dim, value
+                                in enumerate(p[row_ix, :])]
+        return pd.DataFrame(encoded, columns=["data_ix", "parameter_name",
+                                              "feature_dim",
+                                              "parameter_value"])

@@ -158,7 +158,8 @@ class Learner:
                  speaker_embed_dim: Optional[int] = None,
                  prior_concentration: float = 1.0,
                  matmul_precision: str = "highest",
-                 stft_method: str = "fft"):
+                 stft_method: str = "fft",
+                 num_data_partitions: Optional[int] = None):
         self.retrieval, self.log_file_path = update_log_handler(save_dir)
         self.save_dir = save_dir
         self.stft_method = stft_method
@@ -166,6 +167,7 @@ class Learner:
             jax.config.update("jax_default_matmul_precision",
                               matmul_precision)
         self.device = self._pick_device(device)
+        self._setup_mesh(num_data_partitions)
         logger.info("Device: {device}".format(
             device=device or str(self.device)))
 
@@ -279,6 +281,34 @@ class Learner:
             return jax.devices("cpu")[0]
         return jax.devices()[0]
 
+    def _setup_mesh(self, num_data_partitions: Optional[int]) -> None:
+        """Data-parallel mesh over segments (a capability the reference
+        lacks; SURVEY.md section 2.4).  Params stay replicated; batches are
+        sharded along axis 0; XLA inserts the gradient all-reduce over
+        ICI."""
+        from ..parallel import mesh as mesh_mod
+        if num_data_partitions is not None and num_data_partitions > 1:
+            self.mesh = mesh_mod.make_mesh(num_data_partitions)
+            logger.info("Data-parallel mesh over {n} devices.".format(
+                n=self.mesh.size))
+        else:
+            self.mesh = None
+
+    def _place_batch(self, batch: RawBatch):
+        if self.mesh is None:
+            return batch.audio, batch.num_frames, batch.speakers
+        from ..parallel import mesh as mesh_mod
+        return mesh_mod.shard_batch_arrays(self.mesh, batch.audio,
+                                           batch.num_frames, batch.speakers)
+
+    def _replicate_state(self) -> None:
+        if self.mesh is None:
+            return
+        from ..parallel import mesh as mesh_mod
+        rep = mesh_mod.replicate(self.mesh)
+        self.params = jax.device_put(self.params, rep)
+        self.opt_state = jax.device_put(self.opt_state, rep)
+
     @property
     def latent_type(self) -> str:
         return self.model_cfg.latent_type
@@ -309,9 +339,10 @@ class Learner:
         num_strings = len(dataloader.dataset)
 
         for batch_ix, batch in enumerate(dataloader, 1):
+            audio, num_frames, speakers = self._place_batch(batch)
             self.params, self.opt_state, metrics = _train_step(
-                self.params, self.opt_state, batch.audio, batch.num_frames,
-                batch.speakers, self._next_key(), float(num_strings),
+                self.params, self.opt_state, audio, num_frames,
+                speakers, self._next_key(), float(num_strings),
                 self._temperature(), statics=statics,
                 no_sample=bool(is_pretraining and self.latent_type == "abcd"),
                 bucket_frames=batch.bucket_frames, tx=self._tx)
@@ -365,8 +396,9 @@ class Learner:
         num_strings = len(dataloader.dataset)
 
         for batch_ix, batch in enumerate(dataloader, 1):
+            audio, num_frames, speakers = self._place_batch(batch)
             metrics = _eval_step(
-                self.params, batch.audio, batch.num_frames, batch.speakers,
+                self.params, audio, num_frames, speakers,
                 self._next_key(), float(num_strings), self._temperature(),
                 statics=statics,
                 no_sample=bool(is_pretraining and self.latent_type == "abcd"),
@@ -420,12 +452,14 @@ class Learner:
             self.lr_scheduler = optim.ReduceLROnPlateau()
             self.lr_scheduler.load_state_dict(
                 self.checkpoint["lr_scheduler"])
+            self._replicate_state()
         else:
             self.gradient_clip = gradient_clip
             self._momentum = momentum
             self._tx = optim.make_optimizer(learning_rate, momentum,
                                             gradient_clip)
             self.opt_state = self._tx.init(self.params)
+            self._replicate_state()
             self.lr_scheduler = optim.ReduceLROnPlateau(patience=patience)
             logger.info("START LEARNING.")
             logger.info("max # of epochs: {ep}".format(ep=num_epochs))

@@ -44,10 +44,11 @@ def get_learning_rate(opt_state) -> float:
 
 def set_learning_rate(opt_state, lr: float) -> None:
     """In-place update of the injected hyperparameter (host-side, between
-    epochs)."""
-    import jax.numpy as jnp
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(
-        lr, dtype=jnp.asarray(opt_state.hyperparams["learning_rate"]).dtype)
+    epochs).  Stored as an uncommitted numpy scalar so it follows whatever
+    sharding the surrounding jit assigns (single-device or mesh)."""
+    import numpy as np
+    old = opt_state.hyperparams["learning_rate"]
+    opt_state.hyperparams["learning_rate"] = np.asarray(lr, dtype=old.dtype)
 
 
 @dataclass

@@ -1,0 +1,155 @@
+"""CLI end-to-end: train via the drop-in scripts' mains, then run all four
+encode variants and validate CSV layouts (reference: ABCD-VAE/learning.py
+__main__, encode*.py, plain/*)."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import scipy.io.wavfile as spw
+
+from seq2seq_abcd_vae_tpu.cli.encode_main import main as encode_main
+from seq2seq_abcd_vae_tpu.cli.learning_main import main as learning_main
+
+FS = 16000
+
+
+@pytest.fixture(scope="module")
+def toy(tmp_path_factory):
+    root = tmp_path_factory.mktemp("toydata")
+    rng = np.random.default_rng(5)
+    wav = (rng.normal(size=int(2.5 * FS)) * 5000).astype(np.int16)
+    spw.write(root / "x.wav", FS, wav)
+    rows, cursor = [], 0.05
+    for i in range(8):
+        dur = 0.18 + 0.04 * (i % 3)
+        dt = "valid" if i in (2, 6) else "train"
+        rows.append(("x.wav", round(cursor, 3), round(cursor + dur, 3), dt,
+                     ["a", "b"][i % 2], "ABC"[i % 3]))
+        cursor += dur + 0.03
+    pd.DataFrame(rows, columns=["input_path", "onset", "offset", "data_type",
+                                "speaker", "label"]).to_csv(
+        root / "ann.csv", index=False)
+    return root
+
+
+COMMON = ["-e", "2", "-b", "4", "--encoder_rnn_hidden_size", "8",
+          "--decoder_rnn_hidden_size", "8", "--mlp_hidden_size", "8",
+          "-N", "11.0", "-l", "0.1"]
+
+
+@pytest.fixture(scope="module")
+def abcd_run(toy, tmp_path_factory):
+    save_root = tmp_path_factory.mktemp("results")
+    learning_main("abcd", [str(toy), str(toy / "ann.csv"), "-S",
+                           str(save_root), "-j", "run-1", "-K", "4", "-f",
+                           "6", "--pretrain_epochs", "1",
+                           "--speaker_embed_dim", "4"] + COMMON)
+    return save_root / "run-1"
+
+
+@pytest.fixture(scope="module")
+def plain_run(toy, tmp_path_factory):
+    save_root = tmp_path_factory.mktemp("results-plain")
+    learning_main("plain", [str(toy), str(toy / "ann.csv"), "-S",
+                            str(save_root), "-j", "run-1", "-f", "6"]
+                  + COMMON)
+    return save_root / "run-1"
+
+
+def test_abcd_training_artifacts(abcd_run):
+    assert os.path.isfile(abcd_run / "checkpoint.pt")
+    assert os.path.isfile(abcd_run / "history.log")
+    coding = json.load(open(abcd_run / "speaker_coding.json"))
+    assert coding == {"a": 0, "b": 1}
+    log = open(abcd_run / "history.log").read()
+    assert "END OF TRAINING" in log
+    assert "END OF PRETRAINING." in log
+
+
+def test_encode_probs_csv(abcd_run, toy, tmp_path):
+    out = tmp_path / "probs.csv"
+    encode_main("probs", [str(abcd_run / "checkpoint.pt"), str(toy),
+                          str(toy / "ann.csv"), "11.0", "-S", str(out),
+                          "-b", "4"])
+    df = pd.read_csv(out)
+    assert list(df.columns[:3]) == ["data_ix", "category_ix", "prob"]
+    assert {"input_path", "onset", "offset", "data_type", "speaker",
+            "label"} <= set(df.columns)
+    assert sorted(df.data_ix.unique()) == list(range(8))
+    assert sorted(df.category_ix.unique()) == [0, 1, 2, 3]
+    sums = df.groupby("data_ix").prob.sum()
+    np.testing.assert_allclose(sums.to_numpy(), 1.0, atol=1e-4)
+    # .prev chain
+    encode_main("probs", [str(abcd_run / "checkpoint.pt"), str(toy),
+                          str(toy / "ann.csv"), "11.0", "-S", str(out)])
+    assert os.path.isfile(str(out) + ".prev")
+
+
+def test_encode_logits_csv(abcd_run, toy, tmp_path):
+    out = tmp_path / "logits.csv"
+    encode_main("logits", [str(abcd_run / "checkpoint.pt"), str(toy),
+                           str(toy / "ann.csv"), "11.0", "-S", str(out),
+                           "-b", "8"])
+    df = pd.read_csv(out)
+    assert list(df.columns[:3]) == ["data_ix", "dimension", "logit"]
+    assert len(df) == 8 * 4
+
+
+def test_encode_features_csv(abcd_run, toy, tmp_path):
+    out = tmp_path / "features.csv"
+    encode_main("features", [str(abcd_run / "checkpoint.pt"), str(toy),
+                             str(toy / "ann.csv"), "11.0", "-S", str(out)])
+    df = pd.read_csv(out)
+    assert list(df.columns[:3]) == ["data_ix", "dimension", "feature_value"]
+    assert len(df) == 8 * 6  # feature_dim columns
+
+
+def test_probs_softmax_of_logits(abcd_run, toy, tmp_path):
+    p_out, l_out = tmp_path / "p.csv", tmp_path / "l.csv"
+    encode_main("probs", [str(abcd_run / "checkpoint.pt"), str(toy),
+                          str(toy / "ann.csv"), "11.0", "-S", str(p_out)])
+    encode_main("logits", [str(abcd_run / "checkpoint.pt"), str(toy),
+                           str(toy / "ann.csv"), "11.0", "-S", str(l_out)])
+    dp = pd.read_csv(p_out).pivot(index="data_ix", columns="category_ix",
+                                  values="prob")
+    dl = pd.read_csv(l_out).pivot(index="data_ix", columns="dimension",
+                                  values="logit")
+    ex = np.exp(dl.to_numpy())
+    np.testing.assert_allclose(dp.to_numpy(), ex / ex.sum(-1, keepdims=True),
+                               atol=1e-5)
+
+
+def test_plain_training_and_encode(plain_run, toy, tmp_path):
+    assert os.path.isfile(plain_run / "checkpoint.pt")
+    out = tmp_path / "params.csv"
+    encode_main("params", [str(plain_run / "checkpoint.pt"), str(toy),
+                           str(toy / "ann.csv"), "11.0", "-S", str(out),
+                           "-p", "mean,log_variance", "-b", "4"])
+    df = pd.read_csv(out)
+    assert list(df.columns[:4]) == ["data_ix", "parameter_name",
+                                    "feature_dim", "parameter_value"]
+    assert set(df.parameter_name.unique()) == {"mean", "log_variance"}
+    assert len(df) == 8 * 2 * 6
+    # sorted by (data_ix, parameter_name, feature_dim)
+    key = df[["data_ix", "parameter_name", "feature_dim"]]
+    assert key.equals(key.sort_values(["data_ix", "parameter_name",
+                                       "feature_dim"]).reset_index(
+        drop=True))
+    assert "label" in df.columns
+
+
+def test_resume_via_cli(abcd_run, toy):
+    """Re-invoking the training CLI on the same save dir resumes."""
+    learning_main("abcd", [str(toy), str(toy / "ann.csv"), "-S",
+                           str(abcd_run.parent), "-j", "run-1", "-K", "4",
+                           "-f", "6", "--pretrain_epochs", "1",
+                           "--speaker_embed_dim", "4", "-e", "3", "-b", "4",
+                           "--encoder_rnn_hidden_size", "8",
+                           "--decoder_rnn_hidden_size", "8",
+                           "--mlp_hidden_size", "8", "-N", "11.0"])
+    log = open(abcd_run / "history.log").read()
+    assert "LEARNING RETRIEVED." in log
+    assert "To be restarted from the beginning of epoch #: 3" in log
