@@ -16,7 +16,8 @@ from .batching import FrontendSpec, RawBatch
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "frame_length", "step_size", "num_frames", "window", "method"))
+    "frame_length", "step_size", "num_frames", "window", "method",
+    "epsilon", "normalizer"))
 def batch_log_spectrogram(audio: jax.Array, *, frame_length: int,
                           step_size: int, num_frames: int, epsilon: float,
                           normalizer: float, window: str = "hann_window",

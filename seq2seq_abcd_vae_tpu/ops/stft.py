@@ -172,12 +172,26 @@ def log_rescale(amplitude: jax.Array, epsilon: float,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "frame_length", "step_size", "num_frames", "window", "method"))
+    "frame_length", "step_size", "num_frames", "window", "method",
+    "epsilon", "normalizer"))
 def log_spectrogram(audio: jax.Array, frame_length: int, step_size: int,
                     num_frames: int, epsilon: float, normalizer: float,
                     window: str = "hann_window",
                     method: str = "fft") -> jax.Array:
-    """Fused frontend: centered audio -> log-rescaled amplitude spectrogram."""
+    """Fused frontend: centered audio -> log-rescaled amplitude spectrogram.
+
+    method='pallas' dispatches to the fused TPU kernel
+    (ops/stft_pallas.py) when the geometry allows (frame == 2*step) and
+    falls back to 'matmul' otherwise.
+    """
+    if method == "pallas":
+        from . import stft_pallas
+        if stft_pallas.supports(frame_length, step_size) and audio.ndim == 2:
+            return stft_pallas.log_spectrogram_pallas(
+                audio, frame_length, step_size, num_frames, epsilon,
+                normalizer, window=window,
+                interpret=jax.default_backend() != "tpu")
+        method = "matmul"
     amp = stft_amplitude(audio, frame_length, step_size, num_frames,
                          window=window, method=method)
     return log_rescale(amp, epsilon, normalizer)
