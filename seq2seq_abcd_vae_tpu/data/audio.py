@@ -23,21 +23,36 @@ import scipy.io.wavfile as spw
 
 
 class WavCache:
-    """Decode each wav once; hand out float32 channel views."""
+    """Decode each wav once; hand out float32 channel views.
 
-    def __init__(self, input_root: str):
+    Uses the native C++ reader (seq2seq_abcd_vae_tpu.native) when built,
+    scipy otherwise — identical output either way.
+    """
+
+    def __init__(self, input_root: str, use_native: bool = True):
         self.input_root = input_root
+        self.use_native = use_native
         self._cache: dict[tuple[str, int], np.ndarray] = {}
         self._fs: dict[str, int] = {}
 
     def read(self, input_path: str, channel: int = 0) -> np.ndarray:
         key = (input_path, channel)
         if key not in self._cache:
-            fs, data = spw.read(os.path.join(self.input_root, input_path))
-            if data.ndim > 1:
-                data = data[:, channel]  # one channel (data_utils.py:92-93)
-            self._fs[input_path] = fs
-            self._cache[key] = np.ascontiguousarray(data, dtype=np.float32)
+            full = os.path.join(self.input_root, input_path)
+            data = None
+            if self.use_native:
+                from .. import native
+                got = native.read_wav(full, channel)
+                if got is not None:
+                    self._fs[input_path], data = got
+            if data is None:
+                fs, data = spw.read(full)
+                if data.ndim > 1:
+                    # one channel only (data_utils.py:92-93)
+                    data = data[:, channel]
+                self._fs[input_path] = fs
+                data = np.ascontiguousarray(data, dtype=np.float32)
+            self._cache[key] = data
         return self._cache[key]
 
     def sample_freq(self, input_path: str) -> int:

@@ -125,11 +125,28 @@ class DataLoader:
         audio = np.zeros((b, fe.buffer_len(bucket)), np.float32)
         num_frames = np.zeros((b,), np.int32)
         speakers = np.full((b,), -1, np.int32)
-        for i, (ix, seg) in enumerate(zip(ixs, segs)):
-            if fe.centering:
-                center_pad_segment(seg, fe.pad, audio[i])
-            else:
-                audio[i, :len(seg)] = seg
-            num_frames[i] = frames[i]
+        num_frames[:len(ixs)] = frames
+        for i, ix in enumerate(ixs):
             speakers[i] = ds.speaker_id(ix)
+        if not self._assemble_native(segs, fe, audio):
+            for i, seg in enumerate(segs):
+                if fe.centering:
+                    center_pad_segment(seg, fe.pad, audio[i])
+                else:
+                    audio[i, :len(seg)] = seg
         return RawBatch(audio, num_frames, speakers, ixs, bucket)
+
+    def _assemble_native(self, segs, fe: FrontendSpec,
+                         audio: np.ndarray) -> bool:
+        """Multithreaded C++ batch assembly (native/wavseg.cpp); returns
+        False to use the numpy path."""
+        from .. import native
+        if not native.available():
+            return False
+        if fe.centering and any(len(s) <= fe.pad for s in segs):
+            return False  # let the python path raise its diagnostic
+        onsets = np.zeros(len(segs), np.int64)
+        offsets = np.asarray([len(s) for s in segs], np.int64)
+        return native.assemble_batch(
+            [np.ascontiguousarray(s) for s in segs], onsets, offsets,
+            fe.pad if fe.centering else 0, audio)

@@ -50,11 +50,27 @@ def log_pdf_isotropic_gaussian(value: jax.Array, mean: jax.Array,
     return jnp.sum(ll)
 
 
+def gaussian_noise(key: jax.Array, shape, dtype=jnp.float32) -> jax.Array:
+    return jax.random.normal(key, shape, dtype)
+
+
+def gaussian_from_noise(noise: jax.Array, mean: jax.Array,
+                        log_variance: jax.Array) -> jax.Array:
+    """Reparameterization with externally supplied standard noise.
+
+    Lets callers presample all noise in one RNG call outside a scan
+    (per-step threefry inside lax.scan dominates small-step runtimes on
+    TPU); statistically identical to ``sample``."""
+    return mean + jnp.exp(0.5 * log_variance) * noise
+
+
 class Distribution(NamedTuple):
     sample: Callable[..., jax.Array]
     log_pdf: Callable[..., jax.Array]
     kl_to_standard: Callable[..., jax.Array]
     num_parameters: int
+    noise: Callable[..., jax.Array]
+    from_noise: Callable[..., jax.Array]
 
 
 _REGISTRY: dict[str, Distribution] = {
@@ -63,6 +79,8 @@ _REGISTRY: dict[str, Distribution] = {
         log_pdf=log_pdf_isotropic_gaussian,
         kl_to_standard=kl_isotropic_to_standard_gaussian,
         num_parameters=2,
+        noise=gaussian_noise,
+        from_noise=gaussian_from_noise,
     ),
 }
 

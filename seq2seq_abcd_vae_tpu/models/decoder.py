@@ -143,24 +143,43 @@ def _run_direction(cfg: DecoderConfig, cell_params: dict,
         [jnp.zeros_like(mask_t[:1]), mask_t[:-1]], axis=0)
     x0 = jnp.zeros((b, f), h0.dtype)
 
+    # All randomness is presampled in two bulk RNG calls: per-step
+    # jax.random inside lax.scan (split + threefry each iteration) costs
+    # more than the cell matmuls at these sizes.
+    k_noise, k_drop = jax.random.split(key)
+    noise_t = d.noise(k_noise, (t, b, f), h0.dtype)
+    if deterministic or cfg.input_dropout <= 0.0:
+        drop_t = None
+    elif cfg.input_dropout >= 1.0:
+        drop_t = jnp.zeros((t, b, f), h0.dtype)
+    else:
+        keep = jax.random.bernoulli(k_drop, 1.0 - cfg.input_dropout,
+                                    (t, b, f))
+        drop_t = keep.astype(h0.dtype) / (1.0 - cfg.input_dropout)
+
     def step(carry, inp):
-        h, c, x_prev, k = carry
-        mt, pmt = inp
-        k, k_drop, k_samp = jax.random.split(k, 3)
+        h, c, x_prev = carry
+        if drop_t is None:
+            mt, pmt, eps = inp
+        else:
+            mt, pmt, eps, dmask = inp
         x = jnp.where(pmt, x_prev, 0.0)
-        x = _input_dropout(x, cfg.input_dropout, k_drop, deterministic)
+        if drop_t is not None:
+            x = x * dmask
         h2, c2 = _cell_step(cfg, cell_params, x, h, c)
         em = sampler_mod.sampler_apply(emission_params, h2)
         if emission_mode == "mean":
             x_next = em[0]  # sampler2mean(mean_ix=0), model.py:272-284
         else:
-            x_next = d.sample(k_samp, *em)
+            x_next = d.from_noise(eps, *em)
         h = jnp.where(mt, h2, h)
         c = jnp.where(mt, c2, c)
-        return (h, c, x_next, k), (h2, em, x_next)
+        return (h, c, x_next), (h2, em, x_next)
 
+    xs = ((mask_t, prev_mask_t, noise_t) if drop_t is None
+          else (mask_t, prev_mask_t, noise_t, drop_t))
     _, (rnn_out, em_params, out) = jax.lax.scan(
-        step, (h0, c0, x0, key), (mask_t, prev_mask_t))
+        step, (h0, c0, x0), xs)
     # (T, B, .) -> (B, T, .)
     rnn_out = jnp.swapaxes(rnn_out, 0, 1)
     em_params = tuple(jnp.swapaxes(p, 0, 1) for p in em_params)
