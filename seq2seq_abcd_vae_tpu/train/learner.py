@@ -251,10 +251,21 @@ class Learner:
             hs=decoder_rnn_hidden_size))
         logger.info("# of hidden units in the MLPs: {hs}".format(
             hs=mlp_hidden_size))
-        if bidirectional_encoder:
-            logger.info("Encoder is bidirectional.")
+        if latent_type == "abcd":
+            # (reference ABCD-VAE/learning.py:103-107)
+            if bidirectional_encoder:
+                logger.info("Encoder is bidirectional.")
+            if bidirectional_decoder:
+                logger.info("Decoder is bidirectional.")
+        else:
+            # (reference plain/learning.py:102-103)
+            logger.info("Encoder is bidirectional: "
+                        "{bidirectional_encoder}".format(
+                            bidirectional_encoder=bidirectional_encoder))
+            logger.info("Decoder is bidirectional: "
+                        "{bidirectional_decoder}".format(
+                            bidirectional_decoder=bidirectional_decoder))
         if bidirectional_decoder:
-            logger.info("Decoder is bidirectional.")
             logger.info("Probability of emission by the right-to-left "
                         "decoder: {p}".format(p=right2left_decoder_weight))
         logger.info("Dropout rate in the non-top layers of the encoder "
