@@ -52,6 +52,10 @@ def main():
     precision = os.environ.get("BENCH_MATMUL_PRECISION", "default")
     stft_method = os.environ.get("BENCH_STFT_METHOD", "fft")
 
+    from seq2seq_abcd_vae_tpu.utils import (
+        enable_persistent_compilation_cache)
+    enable_persistent_compilation_cache()
+
     import tempfile
     work = tempfile.mkdtemp(prefix="bench-")
     toy_root, toy_csv = find_toy_data()

@@ -1,0 +1,202 @@
+"""Golden parity run: train the PyTorch reference and this framework on
+the same toy-derived workload with the same hyperparameters, then compare
+ELBO trajectories and final class assignments.
+
+Cross-framework RNG makes bit-parity impossible (SURVEY.md hard part #4);
+the parity claims are:
+- per-epoch mean training/validation total loss curves agree within a
+  relative tolerance after the first epochs;
+- final cluster assignments agree up to label permutation (adjusted Rand
+  index) between the two frameworks.
+
+Writes PARITY.json at the repo root and prints a summary.
+
+Usage: python scripts/parity_run.py [--epochs 20] [--segments 96]
+       [--hidden 64] [-K 8]
+"""
+
+import argparse
+import json
+import math
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+sys.path.insert(0, REPO)
+REFERENCE = os.environ.get("REFERENCE_ROOT", "/root/reference")
+
+import numpy as np
+import pandas as pd
+
+
+def adjusted_rand_index(a, b):
+    """ARI without sklearn."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    n = len(a)
+    classes_a, ia = np.unique(a, return_inverse=True)
+    classes_b, ib = np.unique(b, return_inverse=True)
+    table = np.zeros((len(classes_a), len(classes_b)), np.int64)
+    for x, y in zip(ia, ib):
+        table[x, y] += 1
+    comb = lambda x: x * (x - 1) / 2.0
+    sum_comb = comb(table).sum()
+    sum_a = comb(table.sum(1)).sum()
+    sum_b = comb(table.sum(0)).sum()
+    total = comb(n)
+    expected = sum_a * sum_b / total
+    max_index = (sum_a + sum_b) / 2.0
+    if max_index == expected:
+        return 1.0
+    return (sum_comb - expected) / (max_index - expected)
+
+
+def make_workload(num_segments, out_dir):
+    src = os.path.join(REFERENCE, "toy_data")
+    csv = [f for f in os.listdir(src) if f.endswith(".csv")][0]
+    df = pd.read_csv(os.path.join(src, csv))
+    base = df[df.data_type == "train"]
+    reps = -(-num_segments // len(base))
+    big = pd.concat([base] * reps, ignore_index=True).iloc[:num_segments]
+    out = pd.concat([big, df[df.data_type == "valid"]], ignore_index=True)
+    path = os.path.join(out_dir, "ann.csv")
+    out.to_csv(path, index=False)
+    return src, path
+
+
+# ---------------------------------------------------------------------
+def run_reference(wav_root, ann, args, work):
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from measure_reference_baseline import patch_torch
+    patch_torch()
+    sys.path.insert(0, os.path.join(REFERENCE, "ABCD-VAE"))
+    import torch
+    from modules import data_utils
+    import learning as ref_learning
+
+    save_dir = os.path.join(work, "ref-run")
+    os.makedirs(save_dir)
+    parser = data_utils.Data_Parser(wav_root, ann)
+    fs = parser.get_sample_freq()
+    frame, step = int(0.008 * fs), int(0.004 * fs)
+    learner = ref_learning.Learner(
+        int(frame / 2 + 1), args.hidden, args.hidden, args.hidden,
+        args.K, args.feature_dim, save_dir, device="cpu", seed=1111,
+        num_speakers=parser.get_num_speakers(), speaker_embed_dim=None)
+    trans = data_utils.Compose([
+        data_utils.ToTensor(), data_utils.STFT(frame, step),
+        data_utils.Transform(lambda x: (x + 2 ** -15).log() / 11.0)])
+    datasets = {}
+    for dt in ("train", "valid"):
+        d = parser.get_data(data_type=dt, transform=trans)
+        for col in ("onset_ix", "offset_ix", "length"):
+            d.df_annotation[col] = d.df_annotation[col].astype(int)
+        datasets[dt] = d
+    t0 = time.time()
+    learner.learn(datasets["train"], datasets["valid"], args.epochs,
+                  args.batch_size, args.batch_size,
+                  pretrain_epochs=args.pretrain_epochs, learning_rate=1.0,
+                  momentum=0.0, gradient_clip=1.0, patience=0)
+    wall = time.time() - t0
+
+    # final assignments on the full annotation
+    full = parser.get_data(transform=trans)
+    for col in ("onset_ix", "offset_ix", "length"):
+        full.df_annotation[col] = full.df_annotation[col].astype(int)
+    dl = data_utils.DataLoader(full, batch_size=64)
+    assign = {}
+    with torch.no_grad():
+        for packed, _, _, ixs in dl:
+            h = learner.encoder(packed)
+            logits = learner.feature_sampler(h)
+            cls = logits.argmax(-1).numpy()
+            for ix, c in zip(ixs, cls):
+                assign[int(ix)] = int(c)
+    curves = parse_history(os.path.join(save_dir, "history.log"))
+    return curves, assign, wall
+
+
+def run_ours(wav_root, ann, args, work):
+    from seq2seq_abcd_vae_tpu.cli.learning_main import main as learn_main
+    from seq2seq_abcd_vae_tpu.cli.encode_main import main as encode_main
+    save_root = os.path.join(work, "ours")
+    t0 = time.time()
+    learn_main("abcd", [
+        wav_root, ann, "-S", save_root, "-j", "run", "-e", str(args.epochs),
+        "--pretrain_epochs", str(args.pretrain_epochs),
+        "-b", str(args.batch_size), "-K", str(args.K), "-f",
+        str(args.feature_dim), "--encoder_rnn_hidden_size",
+        str(args.hidden), "--decoder_rnn_hidden_size", str(args.hidden),
+        "--mlp_hidden_size", str(args.hidden), "-N", "11.0", "-d",
+        args.device])
+    wall = time.time() - t0
+    probs_csv = os.path.join(work, "ours-probs.csv")
+    encode_main("probs", [
+        os.path.join(save_root, "run", "checkpoint.pt"), wav_root, ann,
+        "11.0", "-S", probs_csv, "-b", "64", "-d", args.device])
+    df = pd.read_csv(probs_csv)
+    pivot = df.pivot_table(index="data_ix", columns="category_ix",
+                           values="prob")
+    assign = {int(ix): int(np.argmax(row.to_numpy()))
+              for ix, row in pivot.iterrows()}
+    curves = parse_history(os.path.join(save_root, "run", "history.log"))
+    return curves, assign, wall
+
+
+def parse_history(path):
+    txt = open(path).read()
+    grab = lambda pat: [float(m) for m in re.findall(pat, txt)]
+    return {
+        "train_total": grab(
+            r"mean training total loss \(per string\): *(-?[\d.]+)"),
+        "valid_total": grab(
+            r"mean validation total loss \(per string\): *(-?[\d.]+)"),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--pretrain_epochs", type=int, default=5)
+    ap.add_argument("--segments", type=int, default=96)
+    ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--hidden", type=int, default=64)
+    ap.add_argument("-K", type=int, default=8)
+    ap.add_argument("--feature_dim", type=int, default=16)
+    ap.add_argument("--device", type=str, default="cpu")
+    ap.add_argument("--skip_reference", action="store_true")
+    args = ap.parse_args()
+
+    work = tempfile.mkdtemp(prefix="parity-")
+    wav_root, ann = make_workload(args.segments, work)
+
+    ours_curves, ours_assign, ours_wall = run_ours(wav_root, ann, args, work)
+    payload = {"config": vars(args),
+               "ours": {"curves": ours_curves, "wall_s": ours_wall}}
+    if not args.skip_reference:
+        ref_curves, ref_assign, ref_wall = run_reference(wav_root, ann, args,
+                                                         work)
+        keys = sorted(set(ours_assign) & set(ref_assign))
+        ari = adjusted_rand_index([ref_assign[k] for k in keys],
+                                  [ours_assign[k] for k in keys])
+        rel = [abs(o - r) / abs(r) for o, r in
+               zip(ours_curves["train_total"], ref_curves["train_total"])]
+        payload["reference"] = {"curves": ref_curves, "wall_s": ref_wall}
+        payload["comparison"] = {
+            "assignment_ari_ref_vs_ours": ari,
+            "train_total_rel_diff_per_epoch": rel,
+            "final_train_total": {"ref": ref_curves["train_total"][-1],
+                                  "ours": ours_curves["train_total"][-1]},
+        }
+    with open(os.path.join(REPO, "PARITY.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload.get("comparison", payload["ours"]), indent=1))
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -18,6 +18,9 @@ from . import flags
 
 def main(mode: str, argv=None) -> None:
     variant = "plain" if mode == "params" else "abcd"
+    from ..utils import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+
     parameters = flags.build_encode_parser(variant).parse_args(argv)
 
     save_path = parameters.save_path

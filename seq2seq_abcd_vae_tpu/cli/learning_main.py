@@ -29,6 +29,9 @@ def get_save_dir(save_root: str, job_id_str: str) -> str:
 
 def main(variant: str, argv=None) -> None:
     parameters = flags.build_learning_parser(variant).parse_args(argv)
+    from ..utils import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+
 
     save_root = parameters.save_root
     if save_root is None:
