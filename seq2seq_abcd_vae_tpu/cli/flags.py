@@ -29,6 +29,9 @@ def _tpu_extras(p: argparse.ArgumentParser) -> None:
                    help="Shard batches over this many devices along a "
                         "('data',) mesh. Default: all visible devices when "
                         ">1, else single-device.")
+    g.add_argument("--profile_dir", type=str, default=None,
+                   help="If set, capture a jax.profiler trace of one "
+                        "steady-state epoch into this directory.")
 
 
 def build_learning_parser(variant: str) -> argparse.ArgumentParser:

@@ -84,6 +84,7 @@ def main(variant: str, argv=None) -> None:
         matmul_precision=parameters.matmul_precision,
         stft_method=parameters.stft_method,
         num_data_partitions=parameters.num_data_partitions,
+        profile_dir=parameters.profile_dir,
     )
     if variant == "abcd":
         learner = Learner(

@@ -159,7 +159,8 @@ class Learner:
                  prior_concentration: float = 1.0,
                  matmul_precision: str = "highest",
                  stft_method: str = "fft",
-                 num_data_partitions: Optional[int] = None):
+                 num_data_partitions: Optional[int] = None,
+                 profile_dir: Optional[str] = None):
         self.retrieval, self.log_file_path = update_log_handler(save_dir)
         self.save_dir = save_dir
         self.stft_method = stft_method
@@ -168,6 +169,7 @@ class Learner:
                               matmul_precision)
         self.device = self._pick_device(device)
         self._setup_mesh(num_data_partitions)
+        self.profile_dir = profile_dir
         logger.info("Device: {device}".format(
             device=device or str(self.device)))
 
@@ -458,8 +460,12 @@ class Learner:
             self._momentum = momentum
             self._tx = optim.make_optimizer(learning_rate, momentum,
                                             self.gradient_clip)
-            self.opt_state = ckpt.tree_to_device(
-                self.checkpoint["optimizer"], self.device)
+            if self.checkpoint.get("optimizer") is None:
+                # imported torch checkpoint: fresh optimizer state
+                self.opt_state = self._tx.init(self.params)
+            else:
+                self.opt_state = ckpt.tree_to_device(
+                    self.checkpoint["optimizer"], self.device)
             self.lr_scheduler = optim.ReduceLROnPlateau()
             self.lr_scheduler.load_state_dict(
                 self.checkpoint["lr_scheduler"])
@@ -490,7 +496,15 @@ class Learner:
                 gc=self.gradient_clip))
             initial_epoch = 1
 
+        profiling = False
         for epoch in range(initial_epoch, num_epochs + 1):
+            if self.profile_dir and epoch == initial_epoch + 1:
+                # Trace the second epoch (first is compile-dominated);
+                # the reference has no profiler at all (SURVEY.md section 5).
+                jax.profiler.start_trace(self.profile_dir)
+                profiling = True
+                logger.info("jax.profiler trace started -> {d}".format(
+                    d=self.profile_dir))
             logger.info("START OF EPOCH: {:3d}".format(epoch))
             logger.info("current learning rate: {lr}".format(
                 lr=optim.get_learning_rate(self.opt_state)))
@@ -514,6 +528,10 @@ class Learner:
                 logger.info("END OF PRETRAINING.")
             self.save_model(epoch)
             logger.info("END OF EPOCH: {:3d}".format(epoch))
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info("jax.profiler trace stopped.")
 
         logger.info("END OF TRAINING")
 
