@@ -48,7 +48,7 @@ def replicated_annotation(csv_path: str, num_segments: int,
 def main():
     num_segments = int(os.environ.get("BENCH_SEGMENTS", 512))
     batch_size = int(os.environ.get("BENCH_BATCH_SIZE", 512))
-    timed_batches = int(os.environ.get("BENCH_BATCHES", 4))
+    timed_batches = int(os.environ.get("BENCH_BATCHES", 16))
     precision = os.environ.get("BENCH_MATMUL_PRECISION", "default")
     stft_method = os.environ.get("BENCH_STFT_METHOD", "fft")
 
@@ -91,32 +91,45 @@ def main():
     learner._tx = optim.make_optimizer(1.0, 0.0, 1.0)
     learner.opt_state = learner._tx.init(learner.params)
 
-    def run_batch(batch):
+    def run_batch(batch, placed):
+        audio, num_frames, speakers = placed
         learner.params, learner.opt_state, metrics = _train_step(
-            learner.params, learner.opt_state, batch.audio,
-            batch.num_frames, batch.speakers, learner._next_key(),
+            learner.params, learner.opt_state, audio,
+            num_frames, speakers, learner._next_key(),
             float(num_segments), 1.0, statics=statics, no_sample=False,
             bucket_frames=batch.bucket_frames, tx=learner._tx)
         return metrics
 
     # Warmup epoch: compiles every bucket shape.
     for batch in loader:
-        m = run_batch(batch)
+        m = run_batch(batch, learner._place_batch(batch))
     float(m["loss"])  # sync
 
-    done, timed = 0, 0.0
-    it = iter(loader)
+    # Timed: the pipelined steady state (async dispatch, prefetched
+    # transfers, one sync at the end) — how the Learner actually trains.
+    def batches():
+        while True:
+            yield from loader
+
+    it = batches()
+    # two untimed pipelined batches to absorb post-warmup retraces
+    batch = next(it)
+    placed = learner._place_batch(batch)
+    for _ in range(2):
+        m = run_batch(batch, placed)
+        batch = next(it)
+        placed = learner._place_batch(batch)
+    float(m["loss"])
+
+    t0 = time.perf_counter()
+    done, m = 0, None
     for _ in range(timed_batches):
-        try:
-            batch = next(it)
-        except StopIteration:
-            it = iter(loader)
-            batch = next(it)
-        t0 = time.perf_counter()
-        m = run_batch(batch)
-        float(m["loss"])  # block until step finished
-        timed += time.perf_counter() - t0
+        m = run_batch(batch, placed)
         done += batch.num_real
+        batch = next(it)
+        placed = learner._place_batch(batch)
+    float(m["loss"])  # block until the last step finished
+    timed = time.perf_counter() - t0
 
     sps = done / timed
     baseline_path = os.path.join(REPO, "BASELINE_MEASURED.json")

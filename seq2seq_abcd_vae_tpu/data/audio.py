@@ -51,7 +51,11 @@ class WavCache:
                     # one channel only (data_utils.py:92-93)
                     data = data[:, channel]
                 self._fs[input_path] = fs
-                data = np.ascontiguousarray(data, dtype=np.float32)
+                # PCM16 stays int16 (half the host->device bytes; the
+                # device frontend casts to f32 exactly). Other formats
+                # normalize to float32.
+                dtype = np.int16 if data.dtype == np.int16 else np.float32
+                data = np.ascontiguousarray(data, dtype=dtype)
             self._cache[key] = data
         return self._cache[key]
 
@@ -112,6 +116,23 @@ class SegmentDataset:
         df.loc[:, "onset_ix"] = df.loc[:, "onset_ix"].astype(int)
         df.loc[:, "offset_ix"] = df.loc[:, "offset_ix"].astype(int)
         df.loc[:, "length"] = df.loc[:, "offset_ix"] - df.loc[:, "onset_ix"]
+        # Flat numpy views for the batch-assembly hot loop — per-row
+        # pandas .loc access is far too slow at batch 512 on one core.
+        self.index_labels = df.index.to_numpy()
+        self.onsets_np = df["onset_ix"].to_numpy(np.int64)
+        self.offsets_np = df["offset_ix"].to_numpy(np.int64)
+        self.lengths_np = df["length"].to_numpy(np.int64)
+        self.paths = df["input_path"].tolist()
+        if self.speaker2ix is None:
+            self.speakers_np = np.full(len(df), -1, np.int32)
+        else:
+            self.speakers_np = np.asarray(
+                [self.speaker2ix[s] for s in df["speaker"]], np.int32)
+
+    def segment_raw_pos(self, pos: int) -> np.ndarray:
+        """Raw samples by *positional* index (hot path)."""
+        wav = self.wav_cache.read(self.paths[pos], self.channel)
+        return wav[self.onsets_np[pos]:self.offsets_np[pos]]
 
     def __len__(self) -> int:
         return self.df_annotation.shape[0]

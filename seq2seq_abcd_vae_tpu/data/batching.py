@@ -116,18 +116,30 @@ class DataLoader:
 
     def make_batch(self, positional_ixs: Sequence[int]) -> RawBatch:
         ds, fe = self.dataset, self.frontend
-        ixs = list(ds.sort_indices_by_length(list(positional_ixs)))
-        segs = [ds.segment_raw(ix) for ix in ixs]
-        frames = np.asarray([fe.frames_for_samples(len(s)) for s in segs],
-                            np.int32)
+        pos = np.asarray(positional_ixs, np.int64)
+        # length-descending within the batch (data_utils.py:81-82,169)
+        pos = pos[np.argsort(-ds.lengths_np[pos], kind="stable")]
+        ixs = [ds.index_labels[p] for p in pos]
+        segs = [ds.segment_raw_pos(p) for p in pos]
+        lengths = ds.lengths_np[pos]
+        if fe.centering:
+            padded = lengths + 2 * fe.pad
+        else:
+            padded = lengths
+        frames = np.where(
+            padded >= fe.frame_length,
+            1 + (padded - fe.frame_length) // fe.step_size, 0).astype(
+            np.int32)
         bucket = default_bucket_fn(int(frames.max()), self.min_bucket)
         b = (self.batch_size if self.pad_to_batch_size else len(ixs))
-        audio = np.zeros((b, fe.buffer_len(bucket)), np.float32)
+        dtype = (np.int16 if all(s.dtype == np.int16 for s in segs)
+                 else np.float32)
+        segs = [s if s.dtype == dtype else s.astype(dtype) for s in segs]
+        audio = np.zeros((b, fe.buffer_len(bucket)), dtype)
         num_frames = np.zeros((b,), np.int32)
         speakers = np.full((b,), -1, np.int32)
-        num_frames[:len(ixs)] = frames
-        for i, ix in enumerate(ixs):
-            speakers[i] = ds.speaker_id(ix)
+        num_frames[:len(pos)] = frames
+        speakers[:len(pos)] = ds.speakers_np[pos]
         if not self._assemble_native(segs, fe, audio):
             for i, seg in enumerate(segs):
                 if fe.centering:

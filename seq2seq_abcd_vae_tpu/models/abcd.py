@@ -123,8 +123,14 @@ def temperature_for_iter(cfg: ABCDSamplerConfig,
     The reference recomputes tau only every ``temperature_update_freq``
     iterations (model.py:644-658), i.e. the effective step count is
     floored to a multiple of the update frequency.
+
+    Host ints stay host floats (the training loop calls this every batch;
+    a device round-trip here would stall the dispatch pipeline).
     """
     steps = (iter_counts // cfg.temperature_update_freq
              ) * cfg.temperature_update_freq
+    if isinstance(steps, (int, float)):
+        return min(cfg.min_temperature,
+                   math.exp(-cfg.temperature_anneal_rate * steps))
     return jnp.minimum(cfg.min_temperature,
                        jnp.exp(-cfg.temperature_anneal_rate * steps))

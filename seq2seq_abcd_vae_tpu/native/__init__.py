@@ -58,6 +58,18 @@ def get_lib():
                                     ctypes.POINTER(ctypes.c_float),
                                     ctypes.c_int64]
         lib.wavseg_read.restype = ctypes.c_int
+        lib.wavseg_read_i16.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                        ctypes.POINTER(ctypes.c_int16),
+                                        ctypes.c_int64]
+        lib.wavseg_read_i16.restype = ctypes.c_int
+        lib.wavseg_assemble_i16.argtypes = [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_int64, ctypes.c_int32]
+        lib.wavseg_assemble_i16.restype = None
         lib.wavseg_assemble.argtypes = [
             ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
             ctypes.POINTER(ctypes.c_int64),
@@ -75,20 +87,31 @@ def available() -> bool:
 
 
 def read_wav(path: str, channel: int = 0):
-    """Decode one channel to float32 via the native reader.
+    """Decode one channel via the native reader.
 
-    Returns (sample_rate, samples) or None if the native path can't
-    handle it (caller falls back to scipy)."""
+    PCM16 files stay int16 (exact, and half the host->device transfer;
+    the device frontend casts — matching the reference's astype(float32),
+    data_utils.py:94); float wavs come back float32.  Returns
+    (sample_rate, samples) or None when the caller should fall back to
+    scipy."""
     lib = get_lib()
     if lib is None:
         return None
     info = _WavInfo()
     if lib.wavseg_info(path.encode(), ctypes.byref(info)) != 0:
         return None
-    out = np.empty(info.num_frames, np.float32)
-    rc = lib.wavseg_read(path.encode(), channel,
-                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                         info.num_frames)
+    if info.format == 1 and info.bits_per_sample == 16:
+        out = np.empty(info.num_frames, np.int16)
+        rc = lib.wavseg_read_i16(
+            path.encode(), channel,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            info.num_frames)
+    else:
+        out = np.empty(info.num_frames, np.float32)
+        rc = lib.wavseg_read(
+            path.encode(), channel,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            info.num_frames)
     if rc != 0:
         return None
     return int(info.sample_rate), out
@@ -97,20 +120,28 @@ def read_wav(path: str, channel: int = 0):
 def assemble_batch(wavs: list[np.ndarray], onsets: np.ndarray,
                    offsets: np.ndarray, pad: int, out: np.ndarray,
                    num_threads: int = 4) -> bool:
-    """Fill the pre-zeroed (B, L) float32 batch buffer with centered
-    segments, multithreaded in C++. Returns False if unavailable."""
+    """Fill the pre-zeroed (B, L) batch buffer (float32 or int16) with
+    centered segments, multithreaded in C++. Returns False if
+    unavailable or on a dtype mismatch."""
     lib = get_lib()
     if lib is None:
         return False
+    if out.dtype == np.int16:
+        ctype, fn = ctypes.c_int16, lib.wavseg_assemble_i16
+    elif out.dtype == np.float32:
+        ctype, fn = ctypes.c_float, lib.wavseg_assemble
+    else:
+        return False
+    if any(w.dtype != out.dtype for w in wavs):
+        return False
     n = len(wavs)
-    ptrs = (ctypes.POINTER(ctypes.c_float) * n)(*[
-        w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for w in wavs])
+    ptrs = (ctypes.POINTER(ctype) * n)(*[
+        w.ctypes.data_as(ctypes.POINTER(ctype)) for w in wavs])
     on = np.ascontiguousarray(onsets, np.int64)
     off = np.ascontiguousarray(offsets, np.int64)
-    lib.wavseg_assemble(
-        ptrs, on.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        np.int32(n), np.int64(pad),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        np.int64(out.shape[1]), np.int32(num_threads))
+    fn(ptrs, on.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+       off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+       np.int32(n), np.int64(pad),
+       out.ctypes.data_as(ctypes.POINTER(ctype)),
+       np.int64(out.shape[1]), np.int32(num_threads))
     return True

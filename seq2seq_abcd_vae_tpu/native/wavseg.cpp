@@ -122,6 +122,43 @@ int wavseg_read(const char* path, int channel, float* out,
   return 0;
 }
 
+// Extract one channel as raw int16 (PCM16 only). Keeping samples in
+// int16 halves the host->device transfer; the device frontend casts to
+// float32, which is exact for 16-bit data. Returns 0 on success.
+int wavseg_read_i16(const char* path, int channel, int16_t* out,
+                    int64_t capacity) {
+  WavInfo info;
+  int rc = wavseg_info(path, &info);
+  if (rc != 0) return rc;
+  if (info.format != 1 || info.bits_per_sample != 16) return -8;
+  if (info.num_frames > capacity) return -5;
+  if (channel >= info.channels) return -6;
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  fseek(f, 12, SEEK_SET);
+  int64_t data_off = -1;
+  while (true) {
+    char id[4];
+    uint32_t size;
+    if (fread(id, 1, 4, f) != 4 || fread(&size, 4, 1, f) != 1) break;
+    if (memcmp(id, "data", 4) == 0) {
+      data_off = ftell(f);
+      break;
+    }
+    fseek(f, size + (size & 1), SEEK_CUR);
+  }
+  if (data_off < 0) { fclose(f); return -4; }
+  int64_t n = info.num_frames;
+  std::vector<int16_t> raw((size_t)(n * info.channels));
+  if (fread(raw.data(), 2, raw.size(), f) != raw.size()) {
+    fclose(f);
+    return -7;
+  }
+  fclose(f);
+  for (int64_t i = 0; i < n; ++i) out[i] = raw[i * info.channels + channel];
+  return 0;
+}
+
 // Fill one centered row: out[0:pad]=reflect, out[pad:pad+len]=x,
 // out[pad+len:2pad+len]=reflect, rest untouched (caller zero-fills).
 static void fill_row(const float* wav, int64_t onset, int64_t offset,
@@ -134,6 +171,44 @@ static void fill_row(const float* wav, int64_t onset, int64_t offset,
     int64_t src = len - 2 - i;
     out[pad + len + i] = (src >= 0) ? x[src] : 0.0f;
   }
+}
+
+static void fill_row_i16(const int16_t* wav, int64_t onset, int64_t offset,
+                         int64_t pad, int16_t* out) {
+  int64_t len = offset - onset;
+  const int16_t* x = wav + onset;
+  for (int64_t i = 0; i < pad; ++i) out[i] = x[pad - i];
+  memcpy(out + pad, x, (size_t)len * sizeof(int16_t));
+  for (int64_t i = 0; i < pad; ++i) {
+    int64_t src = len - 2 - i;
+    out[pad + len + i] = (src >= 0) ? x[src] : (int16_t)0;
+  }
+}
+
+// int16 batch assembly (same layout as wavseg_assemble).
+void wavseg_assemble_i16(const int16_t** wavs, const int64_t* onsets,
+                         const int64_t* offsets, int32_t n_rows,
+                         int64_t pad, int16_t* out, int64_t row_stride,
+                         int32_t num_threads) {
+  if (num_threads < 1) num_threads = 1;
+  auto work = [&](int t) {
+    for (int i = t; i < n_rows; i += num_threads) {
+      int16_t* row = out + (int64_t)i * row_stride;
+      if (pad > 0) {
+        fill_row_i16(wavs[i], onsets[i], offsets[i], pad, row);
+      } else {
+        memcpy(row, wavs[i] + onsets[i],
+               (size_t)(offsets[i] - onsets[i]) * sizeof(int16_t));
+      }
+    }
+  };
+  if (num_threads == 1 || n_rows < 2) {
+    work(0);
+    return;
+  }
+  std::vector<std::thread> threads;
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(work, t);
+  for (auto& th : threads) th.join();
 }
 
 // Assemble a centered batch from pre-decoded wavs, multithreaded by row.

@@ -184,6 +184,10 @@ def log_spectrogram(audio: jax.Array, frame_length: int, step_size: int,
     (ops/stft_pallas.py) when the geometry allows (frame == 2*step) and
     falls back to 'matmul' otherwise.
     """
+    if jnp.issubdtype(audio.dtype, jnp.integer):
+        # int16 transfer format (exact cast, matches the reference's
+        # astype(float32), data_utils.py:94)
+        audio = audio.astype(jnp.float32)
     if method == "pallas":
         from . import stft_pallas
         if stft_pallas.supports(frame_length, step_size) and audio.ndim == 2:

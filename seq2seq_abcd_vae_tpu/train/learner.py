@@ -308,8 +308,13 @@ class Learner:
             self.mesh = None
 
     def _place_batch(self, batch: RawBatch):
+        """Asynchronously start the host->device transfer (jax.device_put
+        returns immediately), so the copy overlaps the previous step's
+        execution — the transfer link, not compute, bounds throughput on
+        tunneled single-host setups."""
         if self.mesh is None:
-            return batch.audio, batch.num_frames, batch.speakers
+            return jax.device_put((batch.audio, batch.num_frames,
+                                   batch.speakers), self.device)
         from ..parallel import mesh as mesh_mod
         return mesh_mod.shard_batch_arrays(self.mesh, batch.audio,
                                            batch.num_frames, batch.speakers)
@@ -335,33 +340,59 @@ class Learner:
     def _temperature(self) -> float:
         if self.latent_type != "abcd":
             return 1.0
-        return float(abcd_mod.temperature_for_iter(self.model_cfg.latent,
-                                                   self.iter_counts))
+        return abcd_mod.temperature_for_iter(self.model_cfg.latent,
+                                             int(self.iter_counts))
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
         return sub
 
+    def _epoch_keys(self, n: int):
+        """One split for the whole epoch: one device dispatch instead of
+        one per batch (every dispatch pays tunnel latency)."""
+        keys = jax.random.split(self.key, n + 1)
+        self.key = keys[0]
+        return keys[1:]
+
     # ------------------------------------------------------------------
     def train(self, dataloader: DataLoader, statics: StepStatics,
               is_pretraining: bool = False) -> None:
+        """One training epoch.
+
+        Pipelined: step i is dispatched asynchronously, batch i+1 is
+        assembled and its transfer started while the device runs, and the
+        per-batch metric fetches (the only host<->device syncs) are
+        deferred to epoch end.  Log-line *contents* match the reference
+        exactly (learning.py:179-195); only their timestamps shift.
+        """
         emission_loss = 0.0
         end_prediction_loss = 0.0
         kl_loss = 0.0
         num_batches = dataloader.get_num_batches()
         num_strings = len(dataloader.dataset)
+        no_sample = bool(is_pretraining and self.latent_type == "abcd")
 
-        for batch_ix, batch in enumerate(dataloader, 1):
-            audio, num_frames, speakers = self._place_batch(batch)
+        pending = []
+        it = iter(dataloader)
+        batch = next(it, None)
+        placed = self._place_batch(batch) if batch is not None else None
+        keys = self._epoch_keys(num_batches)
+        k = 0
+        while batch is not None:
+            audio, num_frames, speakers = placed
             self.params, self.opt_state, metrics = _train_step(
                 self.params, self.opt_state, audio, num_frames,
-                speakers, self._next_key(), float(num_strings),
-                self._temperature(), statics=statics,
-                no_sample=bool(is_pretraining and self.latent_type == "abcd"),
+                speakers, keys[k], float(num_strings),
+                self._temperature(), statics=statics, no_sample=no_sample,
                 bucket_frames=batch.bucket_frames, tx=self._tx)
+            k += 1
+            pending.append(metrics)
             if self.latent_type == "abcd" and not is_pretraining:
                 self.iter_counts += 1
+            batch = next(it, None)  # host assembly overlaps device step
+            placed = self._place_batch(batch) if batch is not None else None
 
+        for batch_ix, metrics in enumerate(pending, 1):
             emission_loss += float(metrics["emission_loss"])
             end_prediction_loss += float(metrics["offset_loss"])
             kl_loss += float(metrics["kl_loss"])
@@ -408,14 +439,25 @@ class Learner:
         num_batches = dataloader.get_num_batches()
         num_strings = len(dataloader.dataset)
 
-        for batch_ix, batch in enumerate(dataloader, 1):
-            audio, num_frames, speakers = self._place_batch(batch)
+        no_sample = bool(is_pretraining and self.latent_type == "abcd")
+        pending = []
+        it = iter(dataloader)
+        batch = next(it, None)
+        placed = self._place_batch(batch) if batch is not None else None
+        keys = self._epoch_keys(num_batches)
+        k = 0
+        while batch is not None:
+            audio, num_frames, speakers = placed
             metrics = _eval_step(
                 self.params, audio, num_frames, speakers,
-                self._next_key(), float(num_strings), self._temperature(),
-                statics=statics,
-                no_sample=bool(is_pretraining and self.latent_type == "abcd"),
+                keys[k], float(num_strings), self._temperature(),
+                statics=statics, no_sample=no_sample,
                 bucket_frames=batch.bucket_frames)
+            k += 1
+            pending.append(metrics)
+            batch = next(it, None)
+            placed = self._place_batch(batch) if batch is not None else None
+        for batch_ix, metrics in enumerate(pending, 1):
             emission_loss += float(metrics["emission_loss"])
             end_prediction_loss += float(metrics["offset_loss"])
             kl_loss += float(metrics["kl_loss"])
