@@ -91,19 +91,27 @@ def main():
     learner._tx = optim.make_optimizer(1.0, 0.0, 1.0)
     learner.opt_state = learner._tx.init(learner.params)
 
-    def run_batch(batch, placed):
+    import jax
+
+    params, opt_state = learner.params, learner.opt_state
+    keys = learner._epoch_keys(timed_batches + len(loader.dataset) + 4)
+    kix = 0
+
+    def run_batch(batch, placed, params, opt_state):
+        nonlocal kix
         audio, num_frames, speakers = placed
-        learner.params, learner.opt_state, metrics = _train_step(
-            learner.params, learner.opt_state, audio,
-            num_frames, speakers, learner._next_key(),
+        params, opt_state, metrics = _train_step(
+            params, opt_state, audio, num_frames, speakers, keys[kix],
             float(num_segments), 1.0, statics=statics, no_sample=False,
             bucket_frames=batch.bucket_frames, tx=learner._tx)
-        return metrics
+        kix += 1
+        return params, opt_state, metrics
 
     # Warmup epoch: compiles every bucket shape.
     for batch in loader:
-        m = run_batch(batch, learner._place_batch(batch))
-    float(m["loss"])  # sync
+        params, opt_state, m = run_batch(batch, learner._place_batch(batch),
+                                         params, opt_state)
+    jax.block_until_ready(params)
 
     # Timed: the pipelined steady state (async dispatch, prefetched
     # transfers, one sync at the end) — how the Learner actually trains.
@@ -116,19 +124,19 @@ def main():
     batch = next(it)
     placed = learner._place_batch(batch)
     for _ in range(2):
-        m = run_batch(batch, placed)
+        params, opt_state, m = run_batch(batch, placed, params, opt_state)
         batch = next(it)
         placed = learner._place_batch(batch)
-    float(m["loss"])
+    jax.block_until_ready(params)
 
     t0 = time.perf_counter()
-    done, m = 0, None
+    done = 0
     for _ in range(timed_batches):
-        m = run_batch(batch, placed)
+        params, opt_state, m = run_batch(batch, placed, params, opt_state)
         done += batch.num_real
         batch = next(it)
         placed = learner._place_batch(batch)
-    float(m["loss"])  # block until the last step finished
+    jax.block_until_ready(params)  # wait for the last queued step
     timed = time.perf_counter() - t0
 
     sps = done / timed

@@ -155,7 +155,14 @@ def parse_history(path):
             r"mean training total loss \(per string\): *(-?[\d.]+)"),
         "valid_total": grab(
             r"mean validation total loss \(per string\): *(-?[\d.]+)"),
+        "lr": grab(r"current learning rate: ([\d.e+-]+)"),
+        "train_kl": grab(r"mean training KL \(per string\): *(-?[\d.]+)"),
     }
+
+
+def cluster_histogram(assign):
+    import collections
+    return dict(collections.Counter(assign.values()))
 
 
 def main():
@@ -191,6 +198,8 @@ def main():
             "train_total_rel_diff_per_epoch": rel,
             "final_train_total": {"ref": ref_curves["train_total"][-1],
                                   "ours": ours_curves["train_total"][-1]},
+            "cluster_histogram": {"ref": cluster_histogram(ref_assign),
+                                  "ours": cluster_histogram(ours_assign)},
         }
     with open(os.path.join(REPO, "PARITY.json"), "w") as f:
         json.dump(payload, f, indent=1)

@@ -179,7 +179,7 @@ def _run_direction(cfg: DecoderConfig, cell_params: dict,
     xs = ((mask_t, prev_mask_t, noise_t) if drop_t is None
           else (mask_t, prev_mask_t, noise_t, drop_t))
     _, (rnn_out, em_params, out) = jax.lax.scan(
-        step, (h0, c0, x0), xs)
+        step, (h0, c0, x0), xs, unroll=rnn_mod.SCAN_UNROLL)
     # (T, B, .) -> (B, T, .)
     rnn_out = jnp.swapaxes(rnn_out, 0, 1)
     em_params = tuple(jnp.swapaxes(p, 0, 1) for p in em_params)

@@ -62,15 +62,15 @@ def _rnn_forward(params, cfg, x, mask, dropout_key, deterministic):
     finals = []  # per (layer, dir): h or (h, c)
     y = x
     for l, layer in enumerate(params["layers"]):
-        outs_f, (h_f, c_f) = rnn_mod.run_rnn_layer(cfg.rnn_type, layer["fwd"],
-                                                   y, mask)
-        finals.append((h_f, c_f))
         if cfg.bidirectional:
-            outs_b, (h_b, c_b) = rnn_mod.run_rnn_layer(
-                cfg.rnn_type, layer["bwd"], y, mask, reverse=True)
-            finals.append((h_b, c_b))
+            outs_f, outs_b, both = rnn_mod.run_rnn_layer_bidir(
+                cfg.rnn_type, layer["fwd"], layer["bwd"], y, mask)
+            finals.extend(both)
             y = jnp.concatenate([outs_f, outs_b], axis=-1)
         else:
+            outs_f, (h_f, c_f) = rnn_mod.run_rnn_layer(
+                cfg.rnn_type, layer["fwd"], y, mask)
+            finals.append((h_f, c_f))
             y = outs_f
         if l < cfg.rnn_layers - 1:
             sub = (None if dropout_key is None

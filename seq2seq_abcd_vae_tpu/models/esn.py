@@ -87,5 +87,7 @@ def run_esn_layer(params: dict, x: jax.Array, mask: jax.Array, leak: float,
         h = jnp.where(mt, h2, h)
         return h, h
 
-    h_n, outs = jax.lax.scan(step, h0, (xp_t, mask_t), reverse=reverse)
+    from .rnn import SCAN_UNROLL
+    h_n, outs = jax.lax.scan(step, h0, (xp_t, mask_t), reverse=reverse,
+                             unroll=SCAN_UNROLL)
     return jnp.swapaxes(outs, 0, 1), h_n
