@@ -85,7 +85,7 @@ def run_reference(wav_root, ann, args, work):
     frame, step = int(0.008 * fs), int(0.004 * fs)
     learner = ref_learning.Learner(
         int(frame / 2 + 1), args.hidden, args.hidden, args.hidden,
-        args.K, args.feature_dim, save_dir, device="cpu", seed=1111,
+        args.K, args.feature_dim, save_dir, device="cpu", seed=args.seed,
         num_speakers=parser.get_num_speakers(), speaker_embed_dim=None)
     trans = data_utils.Compose([
         data_utils.ToTensor(), data_utils.STFT(frame, step),
@@ -132,7 +132,7 @@ def run_ours(wav_root, ann, args, work):
         str(args.feature_dim), "--encoder_rnn_hidden_size",
         str(args.hidden), "--decoder_rnn_hidden_size", str(args.hidden),
         "--mlp_hidden_size", str(args.hidden), "-N", "11.0", "-d",
-        args.device])
+        args.device, "-s", str(args.seed)])
     wall = time.time() - t0
     probs_csv = os.path.join(work, "ours-probs.csv")
     encode_main("probs", [
@@ -175,7 +175,9 @@ def main():
     ap.add_argument("-K", type=int, default=8)
     ap.add_argument("--feature_dim", type=int, default=16)
     ap.add_argument("--device", type=str, default="cpu")
+    ap.add_argument("--seed", type=int, default=1111)
     ap.add_argument("--skip_reference", action="store_true")
+    ap.add_argument("--out_name", type=str, default="PARITY.json")
     args = ap.parse_args()
 
     work = tempfile.mkdtemp(prefix="parity-")
@@ -201,7 +203,7 @@ def main():
             "cluster_histogram": {"ref": cluster_histogram(ref_assign),
                                   "ours": cluster_histogram(ours_assign)},
         }
-    with open(os.path.join(REPO, "PARITY.json"), "w") as f:
+    with open(os.path.join(REPO, args.out_name), "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload.get("comparison", payload["ours"]), indent=1))
     shutil.rmtree(work, ignore_errors=True)

@@ -22,7 +22,6 @@ import os
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 

@@ -112,15 +112,6 @@ def _split_hidden(cfg: DecoderConfig, hidden: jax.Array):
     return h, jnp.zeros_like(h)
 
 
-def _input_dropout(x, rate, key, deterministic):
-    if deterministic or rate <= 0.0:
-        return x
-    if rate >= 1.0:
-        return jnp.zeros_like(x)
-    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), 0.0)
-
-
 def _run_direction(cfg: DecoderConfig, cell_params: dict,
                    emission_params: dict, h0: jax.Array, c0: jax.Array,
                    step_mask: jax.Array, key: jax.Array,

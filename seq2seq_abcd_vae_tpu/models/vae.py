@@ -15,7 +15,7 @@ sequences in the batch (learning.py:155-157).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Optional, Union
+from typing import Any, Union
 
 import jax
 import jax.numpy as jnp

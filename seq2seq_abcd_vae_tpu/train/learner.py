@@ -24,7 +24,6 @@ shape.  Matmul precision defaults to float32 ('highest') for parity; set
 from __future__ import annotations
 
 import functools
-import math
 import os
 from dataclasses import dataclass
 from typing import Optional

@@ -12,7 +12,7 @@ cooldown 0) including the state-dict keys, and the
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 import optax

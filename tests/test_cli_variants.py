@@ -1,0 +1,78 @@
+"""CLI smoke tests for RNN-type variants and determinism guarantees."""
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+import scipy.io.wavfile as spw
+
+from seq2seq_abcd_vae_tpu.cli.learning_main import main as learning_main
+
+FS = 16000
+
+
+@pytest.fixture(scope="module")
+def toy(tmp_path_factory):
+    root = tmp_path_factory.mktemp("toyv")
+    rng = np.random.default_rng(9)
+    wav = (rng.normal(size=int(1.6 * FS)) * 4000).astype(np.int16)
+    spw.write(root / "x.wav", FS, wav)
+    rows, cursor = [], 0.05
+    for i in range(6):
+        dur = 0.15 + 0.05 * (i % 2)
+        dt = "valid" if i == 4 else "train"
+        rows.append(("x.wav", round(cursor, 3), round(cursor + dur, 3), dt))
+        cursor += dur + 0.03
+    pd.DataFrame(rows, columns=["input_path", "onset", "offset",
+                                "data_type"]).to_csv(root / "ann.csv",
+                                                     index=False)
+    return root
+
+
+SMALL = ["-e", "1", "-b", "4", "--encoder_rnn_hidden_size", "8",
+         "--decoder_rnn_hidden_size", "8", "--mlp_hidden_size", "8",
+         "-K", "3", "-f", "4", "--pretrain_epochs", "0", "-N", "11.0"]
+
+
+@pytest.mark.parametrize("extra,tag", [
+    (["-R", "GRU"], "gru"),
+    (["-R", "RNN"], "rnn"),
+    (["-R", "ESN", "--esn_leak", "0.6"], "esn"),
+    (["--bidirectional_decoder", "--right2left_decoder_weight", "0.3"],
+     "bidec"),
+    (["--greedy_decoder"], "greedy"),
+    (["--unidirectional_encoder"], "unienc"),
+])
+def test_variant_trains(toy, tmp_path, extra, tag):
+    save = tmp_path / tag
+    learning_main("abcd", [str(toy), str(toy / "ann.csv"), "-S", str(save),
+                           "-j", "r"] + SMALL + extra)
+    log = open(save / "r" / "history.log").read()
+    assert "END OF TRAINING" in log
+    assert os.path.isfile(save / "r" / "checkpoint.pt")
+
+
+def test_same_seed_same_params(toy, tmp_path):
+    """Determinism: fixed seed -> bit-identical parameters after training
+    (the reference's analogue is cudnn.deterministic + manual_seed,
+    learning.py:77-85; JAX's functional key-split RNG gives the same
+    guarantee for free)."""
+    import pickle
+
+    import jax
+
+    def run(tag):
+        save = tmp_path / tag
+        learning_main("abcd", [str(toy), str(toy / "ann.csv"), "-S",
+                               str(save), "-j", "r", "-s", "777"] + SMALL)
+        with open(save / "r" / "checkpoint.pt", "rb") as f:
+            return pickle.load(f)
+
+    a, b = run("a"), run("b")
+    for mod in ("encoder", "feature_sampler", "decoder"):
+        for x, y in zip(jax.tree_util.tree_leaves(a[mod]),
+                        jax.tree_util.tree_leaves(b[mod])):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    np.testing.assert_array_equal(a["random_state"], b["random_state"])
