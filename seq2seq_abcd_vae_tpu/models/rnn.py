@@ -30,6 +30,11 @@ NUM_GATES = {"LSTM": 4, "GRU": 3, "RNN": 1}
 # override with SEQ2SEQ_SCAN_UNROLL.
 SCAN_UNROLL = int(os.environ.get("SEQ2SEQ_SCAN_UNROLL", "4"))
 
+# Full-layer recurrence backend: 'scan' (lax.scan, default) or 'pallas'
+# (ops/lstm_pallas.py — whole time loop in one kernel, weights pinned in
+# VMEM; LSTM only, other cell types always use scan).
+RNN_BACKEND = os.environ.get("SEQ2SEQ_RNN_BACKEND", "scan")
+
 
 # ---------------------------------------------------------------------------
 # Single-step cells. `x_proj` is x @ w_ih + b_ih, possibly precomputed.
@@ -107,6 +112,20 @@ def run_rnn_layer(rnn_type: str, params: dict, x: jax.Array, mask: jax.Array,
     hidden = params["w_hh"].shape[0]
     xp = input_proj(params, x)  # (B, T, G) — one big matmul
     xp_t = jnp.swapaxes(xp, 0, 1)  # (T, B, G)
+    if rnn_type == "LSTM" and RNN_BACKEND == "pallas":
+        from ..ops import lstm_pallas
+        m_t = jnp.swapaxes(mask, 0, 1)
+        interpret = jax.default_backend() != "tpu"
+        if reverse:
+            outs, h_n, c_n = lstm_pallas.lstm_layer(
+                jnp.flip(xp_t, 0), jnp.flip(m_t, 0), params["w_hh"],
+                params["b_hh"], interpret=interpret)
+            outs = jnp.flip(outs, 0)
+        else:
+            outs, h_n, c_n = lstm_pallas.lstm_layer(
+                xp_t, m_t, params["w_hh"], params["b_hh"],
+                interpret=interpret)
+        return jnp.swapaxes(outs, 0, 1), (h_n, c_n)
     mask_t = jnp.swapaxes(mask, 0, 1)[..., None]  # (T, B, 1)
     h0 = jnp.zeros((b, hidden), x.dtype)
     c0 = jnp.zeros((b, hidden), x.dtype)

@@ -1,0 +1,270 @@
+"""Fused Pallas TPU kernel for a full masked LSTM layer (fwd + bwd).
+
+The XLA ``lax.scan`` path (models/rnn.py) re-fetches the recurrent weights
+from HBM every step and materializes each step's gate tensor; this kernel
+runs the *whole time loop* as one Pallas program:
+
+- grid = (T,): TPU grid steps execute sequentially, so VMEM scratch
+  (h, c carry) persists across steps while Pallas double-buffers the
+  streamed inputs/outputs (xp_t, mask_t -> out_t) automatically;
+- the recurrent weights (H, 4H) and biases live in VMEM for the entire
+  layer — one HBM read total instead of T;
+- masking freezes finished rows exactly like the scan path (packed
+  "shrinking batch" semantics, reference model.py:175-177).
+
+The backward pass is a second Pallas kernel running the standard LSTM
+adjoint in reverse grid order, recomputing the gates from the saved
+(h, c) trajectories (cheaper than saving (T, B, 4H) activations), and
+accumulating dW_hh / db_hh in VMEM scratch.  ``lstm_layer`` wires both
+into a ``jax.custom_vjp`` so ``jax.grad`` through the training step works
+unchanged.
+
+The kernel covers the hot default configuration (unidirectional grid over
+time; the encoder calls it once per direction).  Enable with
+rnn_backend='pallas' (models/rnn.run_rnn_layer) or
+SEQ2SEQ_RNN_BACKEND=pallas; parity with the scan path is tested in
+interpret mode (tests/test_lstm_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fwd_kernel(xp_ref, mask_ref, w_ref, b_ref, out_ref, cs_ref, hn_ref,
+                cn_ref, h_scr, c_scr):
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    h = h_scr[:]
+    c = c_scr[:]
+    gates = (xp_ref[0] + jnp.dot(h, w_ref[:, :],
+                                 preferred_element_type=jnp.float32)
+             + b_ref[:, :])
+    hidden = h.shape[-1]
+    i = jax.nn.sigmoid(gates[:, :hidden])
+    f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+    g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+    o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+    c2 = f * c + i * g
+    h2 = o * jnp.tanh(c2)
+    m = mask_ref[0]
+    h = jnp.where(m, h2, h)
+    c = jnp.where(m, c2, c)
+    h_scr[:] = h
+    c_scr[:] = c
+    out_ref[0] = h
+    cs_ref[0] = c
+
+    @pl.when(t == nt - 1)
+    def _():
+        hn_ref[:, :] = h
+        cn_ref[:, :] = c
+
+
+def _bwd_kernel(xp_ref, mask_ref, w_ref, b_ref, hprev_ref, cprev_ref,
+                c_ref, dout_ref, dhn_ref, dcn_ref,
+                dxp_ref, dw_ref, db_ref,
+                dh_scr, dc_scr):
+    """Reverse-order grid: program s processes step t = T-1-s."""
+    s = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    @pl.when(s == 0)
+    def _():
+        dh_scr[:] = dhn_ref[:, :]
+        dc_scr[:] = dcn_ref[:, :]
+        dw_ref[:, :] = jnp.zeros_like(dw_ref)
+        db_ref[:, :] = jnp.zeros_like(db_ref)
+
+    h_prev = hprev_ref[0]
+    c_prev = cprev_ref[0]
+    c_new = c_ref[0]
+    m = mask_ref[0]
+
+    # Recompute the gates of this step.
+    gates = (xp_ref[0] + jnp.dot(h_prev, w_ref[:, :],
+                                 preferred_element_type=jnp.float32)
+             + b_ref[:, :])
+    hidden = h_prev.shape[-1]
+    i = jax.nn.sigmoid(gates[:, :hidden])
+    f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+    g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+    o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+    # c2/h2 as computed pre-mask; where mask=0 the step was the identity.
+    c2 = jnp.where(m, c_new, f * c_prev + i * g)  # c_new == c2 when masked in
+    tanh_c2 = jnp.tanh(c2)
+
+    dh = dh_scr[:] + dout_ref[0]  # upstream grad of this step's output
+    dc = dc_scr[:]
+
+    dh_step = jnp.where(m, dh, 0.0)
+    dc_step = jnp.where(m, dc, 0.0)
+
+    do = dh_step * tanh_c2
+    dc2 = dc_step + dh_step * o * (1.0 - tanh_c2 * tanh_c2)
+    df = dc2 * c_prev
+    di = dc2 * g
+    dg = dc2 * i
+    dz_i = di * i * (1.0 - i)
+    dz_f = df * f * (1.0 - f)
+    dz_g = dg * (1.0 - g * g)
+    dz_o = do * o * (1.0 - o)
+    dz = jnp.concatenate([dz_i, dz_f, dz_g, dz_o], axis=-1)
+
+    # grads through the identity branch (mask=0): dh/dc pass straight.
+    dh_prev = (jnp.where(m, 0.0, dh)
+               + jnp.dot(dz, w_ref[:, :].T,
+                         preferred_element_type=jnp.float32))
+    dc_prev = jnp.where(m, dc2 * f, dc)
+
+    dxp_ref[0] = dz
+    dw_ref[:, :] += jnp.dot(h_prev.T, dz,
+                            preferred_element_type=jnp.float32)
+    db_ref[:, :] += jnp.sum(dz, axis=0, keepdims=True)
+    dh_scr[:] = dh_prev
+    dc_scr[:] = dc_prev
+    _ = nt  # (grid size only used implicitly)
+
+
+def _fwd_call(xp, mask, w_hh, b_hh, interpret):
+    t, b, g = xp.shape
+    hidden = w_hh.shape[0]
+    mask_f = mask.astype(xp.dtype)
+    b_row = b_hh.reshape(1, g)
+    outs, cs, h_n, c_n = pl.pallas_call(
+        _fwd_kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, b, g), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, g), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b, hidden), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hidden), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, hidden), xp.dtype),
+            jax.ShapeDtypeStruct((t, b, hidden), xp.dtype),
+            jax.ShapeDtypeStruct((b, hidden), xp.dtype),
+            jax.ShapeDtypeStruct((b, hidden), xp.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, hidden), jnp.float32),
+            pltpu.VMEM((b, hidden), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, mask_f[..., None], w_hh, b_row)
+    return outs, cs, h_n, c_n
+
+
+def _bwd_call(xp, mask, w_hh, b_hh, outs, cs, douts, dh_n, dc_n, interpret):
+    t, b, g = xp.shape
+    hidden = w_hh.shape[0]
+    mask_f = mask.astype(xp.dtype)[..., None]
+    b_row = b_hh.reshape(1, g)
+    zeros_state = jnp.zeros((1, b, hidden), xp.dtype)
+    # h_{t-1}, c_{t-1} streams: shift the saved trajectories by one.
+    h_prev = jnp.concatenate([zeros_state, outs[:-1]], axis=0)
+    c_prev = jnp.concatenate([zeros_state, cs[:-1]], axis=0)
+
+    rev = lambda i: (t - 1 - i, 0, 0)
+    dxp, dw, db = pl.pallas_call(
+        _bwd_kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, b, g), rev, memory_space=pltpu.VMEM),       # xp
+            pl.BlockSpec((1, b, 1), rev, memory_space=pltpu.VMEM),       # mask
+            pl.BlockSpec((hidden, g), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),                       # w
+            pl.BlockSpec((1, g), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),                       # b
+            pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM),  # h_prev
+            pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM),  # c_prev
+            pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM),  # c
+            pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM),  # dout
+            pl.BlockSpec((b, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),                       # dh_n
+            pl.BlockSpec((b, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),                       # dc_n
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b, g), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, g), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, g), xp.dtype),
+            jax.ShapeDtypeStruct((hidden, g), xp.dtype),
+            jax.ShapeDtypeStruct((1, g), xp.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, hidden), jnp.float32),
+            pltpu.VMEM((b, hidden), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, mask_f, w_hh, b_row, h_prev, c_prev, cs, douts, dh_n, dc_n)
+    return dxp, dw, db.reshape(-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _lstm_layer_cvjp(xp, mask_f, w_hh, b_hh, interpret):
+    outs, cs, h_n, c_n = _fwd_call(xp, mask_f, w_hh, b_hh, interpret)
+    return outs, h_n, c_n
+
+
+def _lstm_layer_fwd(xp, mask_f, w_hh, b_hh, interpret):
+    outs, cs, h_n, c_n = _fwd_call(xp, mask_f, w_hh, b_hh, interpret)
+    return (outs, h_n, c_n), (xp, mask_f, w_hh, b_hh, outs, cs)
+
+
+def _lstm_layer_bwd(interpret, residuals, grads):
+    xp, mask_f, w_hh, b_hh, outs, cs = residuals
+    douts, dh_n, dc_n = grads
+    dxp, dw, db = _bwd_call(xp, mask_f, w_hh, b_hh, outs, cs, douts, dh_n,
+                            dc_n, interpret)
+    return dxp, jnp.zeros_like(mask_f), dw, db
+
+
+_lstm_layer_cvjp.defvjp(_lstm_layer_fwd, _lstm_layer_bwd)
+
+
+def lstm_layer(xp, mask, w_hh, b_hh, interpret=False):
+    """Masked LSTM layer over time-major projected inputs.
+
+    Args:
+      xp: (T, B, 4H) precomputed x @ W_ih + b_ih.
+      mask: (T, B) validity (any dtype; True while t < length).
+      w_hh: (H, 4H) recurrent weights (gate order i,f,g,o).
+      b_hh: (4H,) recurrent bias.
+
+    Returns (outs (T, B, H), h_n (B, H), c_n (B, H)) — identical to the
+    scan path in models/rnn.run_rnn_layer (forward direction), and
+    differentiable through jax.grad (custom VJP, backward also Pallas).
+    """
+    return _lstm_layer_cvjp(xp, mask.astype(xp.dtype), w_hh, b_hh,
+                            interpret)

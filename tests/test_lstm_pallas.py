@@ -1,0 +1,87 @@
+"""Fused Pallas LSTM layer kernel: forward and gradient parity with the
+lax.scan path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from seq2seq_abcd_vae_tpu.models import initializers as init
+from seq2seq_abcd_vae_tpu.models import rnn as rnn_mod
+from seq2seq_abcd_vae_tpu.ops import lstm_pallas
+
+
+def make_inputs(rng, t=7, b=4, in_size=5, hidden=8):
+    params = init.rnn_gate_params(jax.random.PRNGKey(0), in_size, hidden, 4)
+    x = jnp.asarray(rng.normal(size=(b, t, in_size)).astype(np.float32))
+    lengths = jnp.asarray([t, t - 2, 3, 1][:b], jnp.int32)
+    mask = rnn_mod.lengths_to_mask(lengths, t)
+    xp = rnn_mod.input_proj(params, x)           # (B, T, 4H)
+    xp_t = jnp.swapaxes(xp, 0, 1)                # (T, B, 4H)
+    mask_t = jnp.swapaxes(mask, 0, 1)            # (T, B)
+    return params, x, mask, xp_t, mask_t
+
+
+def scan_reference(params, x, mask):
+    outs, (h_n, c_n) = rnn_mod.run_rnn_layer("LSTM", params, x, mask)
+    return jnp.swapaxes(outs, 0, 1), h_n, c_n  # time-major outs
+
+
+def test_forward_parity(rng):
+    params, x, mask, xp_t, mask_t = make_inputs(rng)
+    want_outs, want_hn, want_cn = scan_reference(params, x, mask)
+    outs, h_n, c_n = lstm_pallas.lstm_layer(xp_t, mask_t, params["w_hh"],
+                                            params["b_hh"], interpret=True)
+    np.testing.assert_allclose(np.asarray(outs), np.asarray(want_outs),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_n), np.asarray(want_hn),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_n), np.asarray(want_cn),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_gradient_parity(rng):
+    params, x, mask, xp_t, mask_t = make_inputs(rng)
+    key = jax.random.PRNGKey(3)
+    w_out = jax.random.normal(key, (8, 3))
+
+    def loss_pallas(xp, w_hh, b_hh):
+        outs, h_n, c_n = lstm_pallas.lstm_layer(xp, mask_t, w_hh, b_hh,
+                                                interpret=True)
+        return (jnp.sum(jnp.tanh(outs @ w_out)) + jnp.sum(h_n * h_n)
+                + jnp.sum(jnp.sin(c_n)))
+
+    def loss_scan(xp, w_hh, b_hh):
+        p = dict(params)
+        p["w_hh"], p["b_hh"] = w_hh, b_hh
+        # emulate the scan layer directly from projected inputs
+        def step(carry, inp):
+            h, c = carry
+            xpt, mt = inp
+            h2, c2 = rnn_mod.lstm_step(p, xpt, h, c)
+            h = jnp.where(mt, h2, h)
+            c = jnp.where(mt, c2, c)
+            return (h, c), h
+        b = xp.shape[1]
+        h0 = jnp.zeros((b, 8), xp.dtype)
+        (h_n, c_n), outs = jax.lax.scan(step, (h0, h0),
+                                        (xp, mask_t[..., None]))
+        return (jnp.sum(jnp.tanh(outs @ w_out)) + jnp.sum(h_n * h_n)
+                + jnp.sum(jnp.sin(c_n)))
+
+    args = (xp_t, params["w_hh"], params["b_hh"])
+    g_pallas = jax.grad(loss_pallas, argnums=(0, 1, 2))(*args)
+    g_scan = jax.grad(loss_scan, argnums=(0, 1, 2))(*args)
+    for gp, gs, name in zip(g_pallas, g_scan, ("dxp", "dw_hh", "db_hh")):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gs),
+                                   rtol=2e-4, atol=1e-5, err_msg=name)
+
+
+def test_zero_length_row(rng):
+    params, x, mask, xp_t, mask_t = make_inputs(rng)
+    mask_t = mask_t.at[:, -1].set(False)  # row 3: fully masked
+    outs, h_n, c_n = lstm_pallas.lstm_layer(xp_t, mask_t, params["w_hh"],
+                                            params["b_hh"], interpret=True)
+    np.testing.assert_array_equal(np.asarray(outs)[:, -1], 0.0)
+    np.testing.assert_array_equal(np.asarray(h_n)[-1], 0.0)
