@@ -74,7 +74,11 @@ class FrontendSpec:
                                         self.step_size, self.centering)
 
     def buffer_len(self, bucket_frames: int) -> int:
-        return (bucket_frames - 1) * self.step_size + self.frame_length
+        # Frames only need (bucket-1)*step + frame samples, but a segment
+        # with exactly bucket_frames frames can be up to step-1 samples
+        # longer (frame count floors); size the row for the worst case so
+        # assembly can never write past it.
+        return bucket_frames * self.step_size + self.frame_length
 
     @property
     def num_bins(self) -> int:
@@ -136,6 +140,11 @@ class DataLoader:
                  else np.float32)
         segs = [s if s.dtype == dtype else s.astype(dtype) for s in segs]
         audio = np.zeros((b, fe.buffer_len(bucket)), dtype)
+        row_need = int(lengths.max()) + 2 * fe.pad
+        if row_need > audio.shape[1]:  # guard for the native memcpy path
+            raise AssertionError(
+                f"batch row needs {row_need} samples but the bucket buffer "
+                f"holds {audio.shape[1]}")
         num_frames = np.zeros((b,), np.int32)
         speakers = np.full((b,), -1, np.int32)
         num_frames[:len(pos)] = frames

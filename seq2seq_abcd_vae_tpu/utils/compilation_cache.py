@@ -18,6 +18,11 @@ def enable_persistent_compilation_cache(cache_dir: str | None = None) -> None:
     if os.environ.get("SEQ2SEQ_ABCD_VAE_NO_COMPILE_CACHE") == "1":
         return
     import jax
+    if jax.default_backend() != "tpu":
+        # Writing CPU executables to the cache segfaults in this jax
+        # build (jax._src.compilation_cache.put_executable_and_time);
+        # CPU compiles are cheap anyway.
+        return
     cache_dir = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                             _DEFAULT_DIR)
     os.makedirs(cache_dir, exist_ok=True)

@@ -9,6 +9,9 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# the persistent compile cache is TPU-only (see utils/compilation_cache);
+# belt and braces for tests:
+os.environ["SEQ2SEQ_ABCD_VAE_NO_COMPILE_CACHE"] = "1"
 
 import jax  # noqa: E402
 
