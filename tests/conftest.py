@@ -13,6 +13,18 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # belt and braces for tests:
 os.environ["SEQ2SEQ_ABCD_VAE_NO_COMPILE_CACHE"] = "1"
 
+# Every XLA:CPU compile adds dozens of memory maps to the process; a full
+# suite run (hundreds of compiles) blows past the default
+# vm.max_map_count=65530 and XLA segfaults inside backend_compile. Raise
+# the limit when we can (container runs as root); harmless otherwise.
+try:
+    with open("/proc/sys/vm/max_map_count") as f:
+        if int(f.read()) < 1048576:
+            with open("/proc/sys/vm/max_map_count", "w") as g:
+                g.write("1048576")
+except OSError:
+    pass
+
 import jax  # noqa: E402
 
 # The container's sitecustomize registers the axon TPU plugin and pins
