@@ -82,13 +82,37 @@ class Encoder(Learner):
 
     def encode_batch(self, batch: RawBatch, statics: StepStatics,
                      mode: str):
-        out = _encode_step(self.params, batch.audio, batch.num_frames,
-                           statics=statics, bucket_frames=batch.bucket_frames,
-                           mode=mode)
+        out = self._dispatch(batch, statics, mode)
+        return self._fetch(batch, out, mode)
+
+    def _dispatch(self, batch: RawBatch, statics: StepStatics, mode: str):
+        """Asynchronously dispatch one encode step (device arrays out)."""
+        return _encode_step(self.params, batch.audio, batch.num_frames,
+                            statics=statics,
+                            bucket_frames=batch.bucket_frames, mode=mode)
+
+    @staticmethod
+    def _fetch(batch: RawBatch, out, mode: str):
         n = batch.num_real
         if mode == "params":
             return tuple(np.asarray(p)[:n] for p in out)
         return np.asarray(out)[:n]
+
+    def _pipelined(self, dataloader, statics: StepStatics, mode: str):
+        """Yield (batch, host values) with one-batch lookahead: batch i+1
+        is assembled and dispatched while batch i's results download and
+        its CSV rows are written."""
+        it = iter(dataloader)
+        batch = next(it, None)
+        if batch is None:
+            return
+        pending = self._dispatch(batch, statics, mode)
+        while batch is not None:
+            nxt = next(it, None)
+            nxt_pending = (self._dispatch(nxt, statics, mode)
+                           if nxt is not None else None)
+            yield batch, self._fetch(batch, pending, mode)
+            batch, pending = nxt, nxt_pending
 
     # ------------------------------------------------------------------
     def encode_dataset(self, dataset, save_path: str, frontend: FrontendSpec,
@@ -107,8 +131,7 @@ class Encoder(Learner):
                 columns=["onset_ix", "offset_ix", "length"])
         else:
             df_ann = None
-        for batch in dataloader:
-            values = self.encode_batch(batch, statics, mode)
+        for batch, values in self._pipelined(dataloader, statics, mode):
             df_encoded = pd.DataFrame(values)
             df_encoded.loc[:, "data_ix"] = list(batch.ixs)
             df_encoded = df_encoded.melt(id_vars=["data_ix"],
@@ -134,8 +157,8 @@ class Encoder(Learner):
         statics = self._statics(frontend, epsilon, normalizer)
         dataloader = DataLoader(dataset, frontend, batch_size=batch_size)
         encoded = []
-        for batch in dataloader:
-            param_tuple = self.encode_batch(batch, statics, "params")
+        for batch, param_tuple in self._pipelined(dataloader, statics,
+                                                  "params"):
             for parameter_ix, p in enumerate(param_tuple):
                 name = parameter_ix2name.get(parameter_ix, parameter_ix)
                 for row_ix, data_ix in enumerate(batch.ixs):
