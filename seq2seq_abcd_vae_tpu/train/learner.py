@@ -101,7 +101,8 @@ def _losses_and_metrics(params, statics: StepStatics, audio, num_frames,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "statics", "no_sample", "bucket_frames", "tx"))
+    "statics", "no_sample", "bucket_frames", "tx"),
+    donate_argnums=(0, 1))  # params/opt_state are reassigned every step
 def _train_step(params, opt_state, audio, num_frames, speakers, key,
                 entire_n, temperature, *, statics: StepStatics,
                 no_sample: bool, bucket_frames: int, tx):

@@ -44,13 +44,16 @@ def test_dp_step_matches_single_device():
     speakers = (np.arange(b) % 2).astype(np.int32)
     key = jax.random.PRNGKey(7)
 
+    # copy before the single-device step: _train_step donates params
+    params_copy = jax.tree_util.tree_map(np.asarray, params)
+    opt_copy = jax.tree_util.tree_map(np.asarray, opt_state)
     p1, _, m1 = _train_step(params, opt_state, audio, num_frames, speakers,
                             key, float(b), 1.0, statics=statics,
                             no_sample=True, bucket_frames=bucket, tx=tx)
 
     mesh = make_mesh(8)
-    pr = jax.device_put(params, replicate(mesh))
-    osr = jax.device_put(opt_state, replicate(mesh))
+    pr = jax.device_put(params_copy, replicate(mesh))
+    osr = jax.device_put(opt_copy, replicate(mesh))
     sa, sn, ss = shard_batch_arrays(mesh, audio, num_frames, speakers)
     kr = jax.device_put(key, replicate(mesh))
     p2, _, m2 = _train_step(pr, osr, sa, sn, ss, kr, float(b), 1.0,
