@@ -14,7 +14,8 @@ from __future__ import annotations
 import os
 import pickle
 import tempfile
-from typing import Any
+import threading
+from typing import Any, Optional
 
 import jax
 import numpy as np
@@ -50,3 +51,39 @@ def save_checkpoint(save_dir: str, payload: dict[str, Any]) -> str:
 def load_checkpoint(path: str) -> dict[str, Any]:
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+class AsyncCheckpointer:
+    """Background-thread checkpoint writer (the SURVEY.md section-5 "async
+    save" note, without an orbax dependency).
+
+    The device->host copy happens on the caller's thread (cheap at these
+    sizes and required for consistency); serialization + atomic write
+    overlap the next epoch.  ``wait()`` joins the in-flight save; a new
+    save waits for the previous one, preserving the single rolling-file
+    contract.
+    """
+
+    def __init__(self) -> None:
+        self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+
+    def save(self, save_dir: str, payload: dict[str, Any]) -> None:
+        self.wait()
+
+        def _run() -> None:
+            try:
+                save_checkpoint(save_dir, payload)
+            except BaseException as e:  # surfaced on the next wait()
+                self._error = e
+
+        self._thread = threading.Thread(target=_run, daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err

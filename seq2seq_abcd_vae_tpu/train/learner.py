@@ -170,6 +170,7 @@ class Learner:
         self.device = self._pick_device(device)
         self._setup_mesh(num_data_partitions)
         self.profile_dir = profile_dir
+        self._checkpointer = ckpt.AsyncCheckpointer()
         logger.info("Device: {device}".format(
             device=device or str(self.device)))
 
@@ -575,6 +576,7 @@ class Learner:
                 profiling = False
                 logger.info("jax.profiler trace stopped.")
 
+        self._checkpointer.wait()
         logger.info("END OF TRAINING")
 
     # ------------------------------------------------------------------
@@ -601,7 +603,7 @@ class Learner:
             "gradient_clip": self.gradient_clip,
             "random_state": np.asarray(self.key),
         }
-        ckpt.save_checkpoint(self.save_dir, payload)
+        self._checkpointer.save(self.save_dir, payload)
         logger.info("Config successfully saved.")
 
     def retrieve_model(self, checkpoint_path: Optional[str] = None,
