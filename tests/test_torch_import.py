@@ -53,6 +53,61 @@ def test_import_encoder_matches_torch(rng):
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
 
 
+def test_import_gru_encoder_matches_torch(rng):
+    cfg = EncoderConfig(7, 11, rnn_type="GRU")
+    rnn = torch.nn.GRU(7, 11, 1, bidirectional=True, batch_first=True)
+    state = {f"rnn.{k}": v for k, v in rnn.state_dict().items()}
+    params = ti.import_encoder(state, cfg)
+    lengths = np.asarray([6, 4], np.int32)
+    x = rng.normal(size=(2, 6, 7)).astype(np.float32)
+    ours = np.asarray(enc_mod.encoder_apply(params, cfg, jnp.asarray(x),
+                                            jnp.asarray(lengths)))
+    with torch.no_grad():
+        packed = torch.nn.utils.rnn.pack_padded_sequence(
+            torch.from_numpy(x), torch.from_numpy(lengths.astype(np.int64)),
+            batch_first=True)
+        _, last = rnn(packed)
+        theirs = last.transpose(0, 1).reshape(2, -1).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_import_bidirectional_decoder(rng):
+    """Bidirectional decoder import: reverse cells/heads map and the
+    imported model decodes finite losses."""
+    from seq2seq_abcd_vae_tpu.configs import DecoderConfig
+    from seq2seq_abcd_vae_tpu.models import decoder as dec_mod
+    in_size, hid, mlp_h, f_dim = 6, 9, 5, 4
+    state = {}
+    for suffix in ("", "_reverse"):
+        cell = torch.nn.LSTMCell(in_size, hid)
+        state.update({f"rnn_cell{suffix}.cell.{k}": v
+                      for k, v in cell.state_dict().items()})
+        for i in range(2):
+            _, s = make_torch_mlp_state(
+                f"emission_sampler{suffix}.to_parameters.mlps.{i}", hid,
+                mlp_h, in_size)
+            state.update(s)
+        _, s = make_torch_mlp_state(f"offset_predictor{suffix}", hid,
+                                    mlp_h, 1)
+        state.update(s)
+    f2h = torch.nn.Linear(f_dim, hid * 4)  # 2H (LSTM) x 2 (bidir)
+    state.update({f"feature2hidden.{k}": v
+                  for k, v in f2h.state_dict().items()})
+    cfg = DecoderConfig(in_size, hid, mlp_h, f_dim, bidirectional=True,
+                        right2left_weight=0.3)
+    params = ti.import_decoder(state, cfg)
+    assert "rnn_cell_reverse" in params
+    feats = jnp.asarray(rng.normal(size=(2, f_dim)).astype(np.float32))
+    gt = jnp.asarray(rng.normal(size=(2, 5, in_size)).astype(np.float32))
+    off = jnp.zeros((2, 5))
+    out = dec_mod.decoder_apply(
+        params, cfg, feats, jnp.asarray([5, 3], jnp.int32), 5,
+        ground_truth_out=gt, ground_truth_offset=off,
+        key=jax.random.PRNGKey(0), deterministic=True)
+    assert np.isfinite(float(out.emission_loss))
+    assert np.isfinite(float(out.offset_loss))
+
+
 def test_import_abcd_head_matches_torch(rng):
     cfg = ABCDSamplerConfig(10, 8, 5, 6)
     t_mlp, state = make_torch_mlp_state("to_code_like", 10, 8, 6)
