@@ -29,6 +29,11 @@ def _tpu_extras(p: argparse.ArgumentParser) -> None:
                    help="Shard batches over this many devices along a "
                         "('data',) mesh. Default: all visible devices when "
                         ">1, else single-device.")
+    g.add_argument("--length_sorted_batches", action="store_true",
+                   help="Group length-similar segments into batches "
+                        "(smallest possible padded bucket per batch; "
+                        "changes batch composition vs the reference's "
+                        "uniform draws).")
     g.add_argument("--profile_dir", type=str, default=None,
                    help="If set, capture a jax.profiler trace of one "
                         "steady-state epoch into this directory.")

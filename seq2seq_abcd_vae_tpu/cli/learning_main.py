@@ -85,6 +85,7 @@ def main(variant: str, argv=None) -> None:
         stft_method=parameters.stft_method,
         num_data_partitions=parameters.num_data_partitions,
         profile_dir=parameters.profile_dir,
+        length_sorted_batches=parameters.length_sorted_batches,
     )
     if variant == "abcd":
         learner = Learner(

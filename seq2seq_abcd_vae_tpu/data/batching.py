@@ -95,13 +95,14 @@ class DataLoader:
     def __init__(self, dataset: SegmentDataset, frontend: FrontendSpec,
                  batch_size: int = 1, shuffle: bool = False,
                  seed: int = 1111, pad_to_batch_size: bool = True,
-                 min_bucket: int = 32):
+                 min_bucket: int = 32, length_sorted: bool = False):
         self.dataset = dataset
         self.frontend = frontend
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.pad_to_batch_size = pad_to_batch_size
         self.min_bucket = min_bucket
+        self.length_sorted = length_sorted
         self._rng = np.random.default_rng(seed)
 
     def get_num_batches(self) -> int:
@@ -110,10 +111,23 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[RawBatch]:
         n = len(self.dataset)
-        order = (self._rng.permutation(n) if self.shuffle
-                 else np.arange(n))
+        if self.length_sorted:
+            # TPU extension (off by default; the reference draws batches
+            # uniformly): group length-similar segments so each batch gets
+            # the smallest possible bucket, then shuffle batch order.
+            # Random tie-break keeps epoch-to-epoch composition varied.
+            jitter = self._rng.random(n) if self.shuffle else 0.0
+            order = np.argsort(self.dataset.lengths_np + jitter)
+        else:
+            order = (self._rng.permutation(n) if self.shuffle
+                     else np.arange(n))
         batches = [order[i:i + self.batch_size]
                    for i in range(0, n, self.batch_size)]
+        if self.length_sorted and self.shuffle:
+            self._rng.shuffle(batches)
+            for positional in batches:
+                yield self.make_batch(positional)
+            return
         # consumed from the end, like the reference's list.pop()
         for positional in reversed(batches):
             yield self.make_batch(positional)

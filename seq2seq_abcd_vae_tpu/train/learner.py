@@ -160,7 +160,8 @@ class Learner:
                  matmul_precision: str = "highest",
                  stft_method: str = "fft",
                  num_data_partitions: Optional[int] = None,
-                 profile_dir: Optional[str] = None):
+                 profile_dir: Optional[str] = None,
+                 length_sorted_batches: bool = False):
         self.retrieval, self.log_file_path = update_log_handler(save_dir)
         self.save_dir = save_dir
         self.stft_method = stft_method
@@ -170,6 +171,7 @@ class Learner:
         self.device = self._pick_device(device)
         self._setup_mesh(num_data_partitions)
         self.profile_dir = profile_dir
+        self.length_sorted_batches = length_sorted_batches
         self._checkpointer = ckpt.AsyncCheckpointer()
         logger.info("Device: {device}".format(
             device=device or str(self.device)))
@@ -487,11 +489,13 @@ class Learner:
               pretrain_epochs: int = 0, learning_rate: float = 0.1,
               momentum: float = 0.9, gradient_clip: float = 0.25,
               patience: int = 0) -> None:
+        sorted_b = getattr(self, "length_sorted_batches", False)
         train_dataloader = DataLoader(train_dataset, frontend,
                                       batch_size=batch_size_train,
-                                      shuffle=True)
+                                      shuffle=True, length_sorted=sorted_b)
         valid_dataloader = DataLoader(valid_dataset, frontend,
-                                      batch_size=batch_size_valid)
+                                      batch_size=batch_size_valid,
+                                      length_sorted=sorted_b)
         statics = self._statics(frontend, epsilon, data_normalizer)
 
         if self.retrieval:
