@@ -67,6 +67,8 @@ def main():
     from seq2seq_abcd_vae_tpu.train import optim
     from seq2seq_abcd_vae_tpu.train.learner import Learner, _train_step
 
+    length_sorted = os.environ.get("BENCH_LENGTH_SORTED") == "1"
+
     parser = AnnotationParser(toy_root, ann)
     fs = parser.get_sample_freq()
     frame = int(np.floor(0.008 * fs))
@@ -84,7 +86,8 @@ def main():
 
     fe = FrontendSpec(frame, step)
     train = parser.get_data("train")
-    loader = DataLoader(train, fe, batch_size=batch_size, shuffle=True)
+    loader = DataLoader(train, fe, batch_size=batch_size, shuffle=True,
+                        length_sorted=length_sorted)
     statics = learner._statics(fe, 2.0 ** -15, 11.0)
     learner.gradient_clip = 1.0
     learner._momentum = 0.0
