@@ -1,0 +1,141 @@
+"""End-to-end scientific demo: unsupervised discovery of acoustic
+categories on a synthetic corpus, on-device.
+
+Generates a wav corpus with two acoustically distinct syllable types
+(rising chirps vs band-limited noise bursts), trains the ABCD-VAE through
+the real CLI, encodes class probabilities, and scores the discovered
+clusters against the ground-truth types (adjusted Rand index).  This is
+the capability the reference was built for (birdsong syllable
+clustering), demonstrated at a scale the reference's CPU loop cannot
+reach interactively.
+
+Usage: python scripts/demo_synthetic.py [--segments 800] [--epochs 10]
+       [--device tpu]
+Writes DEMO.json at the repo root.
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import pandas as pd
+import scipy.io.wavfile as spw
+
+from parity_run import adjusted_rand_index
+
+FS = 16000
+
+
+def synth_corpus(num_segments: int, out_dir: str, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    rows = []
+    cursor = 0.05
+    samples = []
+    for i in range(num_segments):
+        dur = float(rng.uniform(0.15, 0.35))
+        n = int(dur * FS)
+        t = np.arange(n) / FS
+        kind = i % 2
+        if kind == 0:  # rising chirp 1->3 kHz
+            f0, f1 = 1000.0, 3000.0
+            phase = 2 * np.pi * (f0 * t + (f1 - f0) * t * t / (2 * dur))
+            seg = np.sin(phase) * 6000
+        else:  # noise burst band-passed around 6 kHz
+            noise = rng.normal(size=n)
+            carrier = np.sin(2 * np.pi * 6000.0 * t)
+            seg = noise * carrier * 5000
+        env = np.minimum(1.0, np.minimum(t / 0.02, (dur - t) / 0.02))
+        seg = seg * np.maximum(env, 0.0) + rng.normal(size=n) * 100
+        samples.append(seg.astype(np.int16))
+        rows.append((round(cursor, 4), round(cursor + dur, 4),
+                     "syllables.wav",
+                     "valid" if i % 10 == 9 else "train",
+                     "s%d" % (i % 2), "chirp" if kind == 0 else "noise"))
+        cursor += dur + 0.02
+    gaps = []
+    pos = 0.05
+    wav = np.zeros(int(cursor * FS) + FS, np.int16)
+    for (onset, offset, _, _, _, _), seg in zip(rows, samples):
+        wav[int(round(onset * FS)):int(round(onset * FS)) + len(seg)] = seg
+    spw.write(os.path.join(out_dir, "syllables.wav"), FS, wav)
+    df = pd.DataFrame(rows, columns=["onset", "offset", "input_path",
+                                     "data_type", "speaker", "label"])
+    ann = os.path.join(out_dir, "annotation.csv")
+    df.to_csv(ann, index=False)
+    _ = gaps, pos
+    return ann, df
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--segments", type=int, default=800)
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--pretrain_epochs", type=int, default=2)
+    ap.add_argument("--batch_size", type=int, default=128)
+    ap.add_argument("-K", type=int, default=16)
+    ap.add_argument("--hidden", type=int, default=128)
+    ap.add_argument("--device", type=str, default="tpu")
+    ap.add_argument("--bidirectional_decoder", action="store_true",
+                    help="the reference's anti-posterior-collapse option")
+    ap.add_argument("--learning_rate", type=float, default=1.0)
+    args = ap.parse_args()
+
+    work = tempfile.mkdtemp(prefix="demo-")
+    ann, df = synth_corpus(args.segments, work)
+
+    from seq2seq_abcd_vae_tpu.cli.encode_main import main as encode_main
+    from seq2seq_abcd_vae_tpu.cli.learning_main import main as learn_main
+
+    argv = [
+        work, ann, "-S", work, "-j", "demo", "-e", str(args.epochs),
+        "--pretrain_epochs", str(args.pretrain_epochs), "-b",
+        str(args.batch_size), "-K", str(args.K), "-f", "32",
+        "--encoder_rnn_hidden_size", str(args.hidden),
+        "--decoder_rnn_hidden_size", str(args.hidden),
+        "--mlp_hidden_size", str(args.hidden), "-N", "11.0",
+        "-l", str(args.learning_rate),
+        "--speaker_embed_dim", "16", "-d", args.device,
+        "--matmul_precision", "default", "--length_sorted_batches"]
+    if args.bidirectional_decoder:
+        argv.append("--bidirectional_decoder")
+    t0 = time.time()
+    learn_main("abcd", argv)
+    train_wall = time.time() - t0
+
+    probs_csv = os.path.join(work, "probs.csv")
+    encode_main("probs", [
+        os.path.join(work, "demo", "checkpoint.pt"), work, ann, "11.0",
+        "-S", probs_csv, "-b", str(args.batch_size), "-d", args.device,
+        "--matmul_precision", "default"])
+    enc = pd.read_csv(probs_csv)
+    pivot = enc.pivot_table(index="data_ix", columns="category_ix",
+                            values="prob")
+    assign = pivot.to_numpy().argmax(-1)
+    truth = df.loc[pivot.index, "label"].to_numpy()
+    ari = adjusted_rand_index(truth, assign)
+    clusters = {int(c): int(n) for c, n
+                in zip(*np.unique(assign, return_counts=True))}
+    payload = {
+        "segments": args.segments, "epochs": args.epochs,
+        "train_wall_s": round(train_wall, 1),
+        "segments_per_sec_train": round(
+            args.segments * 0.9 * args.epochs / train_wall, 1),
+        "ari_vs_ground_truth": round(float(ari), 4),
+        "num_clusters_used": len(clusters),
+        "cluster_sizes": clusters,
+    }
+    with open(os.path.join(REPO, "DEMO.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()
