@@ -22,6 +22,15 @@ class AnnotationParser:
                  annotation_sep: str = ",",
                  speaker2ix: dict | None = None):
         self.df_annotation = pd.read_csv(annotation_file, sep=annotation_sep)
+        missing = ({"input_path", "onset", "offset"}
+                   - set(self.df_annotation.columns))
+        if missing:
+            raise ValueError(
+                f"annotation file {annotation_file} is missing required "
+                f"column(s) {sorted(missing)}; expected "
+                "input_path,onset,offset,data_type[,speaker][,label] "
+                f"(found {list(self.df_annotation.columns)}). Check "
+                "--annotation_sep if the file is not comma-separated.")
         self.input_root = input_root
         self.data_type_col_name = data_type_col_name
         self.wav_cache = WavCache(input_root)

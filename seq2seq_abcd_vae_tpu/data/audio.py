@@ -107,8 +107,20 @@ class SegmentDataset:
 
     def _compute_bounds(self) -> None:
         df = self.df_annotation
+        ref_fs = None
         for input_path, sub_df in df.groupby("input_path"):
             fs = self.wav_cache.sample_freq(input_path)
+            if ref_fs is None:
+                ref_fs = fs
+            elif fs != ref_fs:
+                # The whole pipeline (STFT geometry, model input_size)
+                # assumes one fs (reference data_utils.py:53-57 just uses
+                # the first file's) — make the mismatch loud.
+                import warnings
+                warnings.warn(
+                    f"{input_path} has fs={fs} but the corpus was set up "
+                    f"for fs={ref_fs}; STFT geometry will be wrong for "
+                    "this file", stacklevel=2)
             onset_ix, offset_ix = segment_sample_bounds(
                 sub_df.onset.to_numpy(), sub_df.offset.to_numpy(), fs)
             df.loc[sub_df.index, "onset_ix"] = onset_ix

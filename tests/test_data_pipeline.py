@@ -159,3 +159,30 @@ def test_no_centering(toy_root):
     want = (torch.log(want + EPS) / NORM).numpy()
     np.testing.assert_allclose(spec[0, :batch.num_frames[0]], want,
                                rtol=2e-4, atol=2e-4)
+
+
+def test_missing_columns_clear_error(tmp_path):
+    import pandas as pd
+    pd.DataFrame({"path": ["x.wav"], "start": [0.1]}).to_csv(
+        tmp_path / "bad.csv", index=False)
+    with pytest.raises(ValueError, match="missing required column"):
+        AnnotationParser(str(tmp_path), str(tmp_path / "bad.csv"))
+
+
+def test_mixed_sample_rate_warns(tmp_path, rng):
+    import warnings
+
+    import pandas as pd
+    spw.write(tmp_path / "a16k.wav", 16000,
+              (rng.normal(size=16000) * 100).astype(np.int16))
+    spw.write(tmp_path / "b22k.wav", 22050,
+              (rng.normal(size=22050) * 100).astype(np.int16))
+    pd.DataFrame([
+        ("a16k.wav", 0.1, 0.5, "train"), ("b22k.wav", 0.1, 0.5, "train"),
+    ], columns=["input_path", "onset", "offset", "data_type"]).to_csv(
+        tmp_path / "ann.csv", index=False)
+    p = AnnotationParser(str(tmp_path), str(tmp_path / "ann.csv"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        p.get_data("train")
+    assert any("fs=" in str(x.message) for x in w)
