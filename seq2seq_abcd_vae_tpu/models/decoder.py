@@ -178,6 +178,114 @@ def _run_direction(cfg: DecoderConfig, cell_params: dict,
     return rnn_out, em_params, out
 
 
+def _stack_params(a: dict, b: dict) -> dict:
+    return jax.tree_util.tree_map(lambda x, y: jnp.stack([x, y]), a, b)
+
+
+def _stacked_mlp_k(params: dict, x: jax.Array) -> tuple:
+    """Stacked per-direction MLP_To_k_Vecs: params (2, k, ...), x (2, B, I)
+    -> tuple over k of (2, B, O)."""
+    h = jnp.tanh(jnp.einsum("dbi,dkih->dkbh", x, params["lin1"]["w"])
+                 + params["lin1"]["b"][:, :, None, :])
+    out = (jnp.einsum("dkbh,dkho->dkbo", h, params["lin2"]["w"])
+           + params["lin2"]["b"][:, :, None, :])
+    return tuple(out[:, i] for i in range(out.shape[1]))
+
+
+def _stacked_cell_step(cfg: DecoderConfig, params: dict, x: jax.Array,
+                       h: jax.Array, c: jax.Array):
+    """Per-direction-stacked cell step: all tensors (2, B, .)."""
+    xp = (jnp.einsum("dbf,dfg->dbg", x, params["w_ih"])
+          + params["b_ih"][:, None, :])
+    hp = (jnp.einsum("dbh,dhg->dbg", h, params["w_hh"])
+          + params["b_hh"][:, None, :])
+    if cfg.rnn_type == "LSTM":
+        i, f, g, o = jnp.split(xp + hp, 4, axis=-1)
+        c2 = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h2 = jax.nn.sigmoid(o) * jnp.tanh(c2)
+        return h2, c2
+    if cfg.rnn_type == "GRU":
+        xr, xz, xn = jnp.split(xp, 3, axis=-1)
+        hr, hz, hn = jnp.split(hp, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        return (1.0 - z) * jnp.tanh(xn + r * hn) + z * h, c
+    return jnp.tanh(xp + hp), c
+
+
+def _run_both_directions(cfg: DecoderConfig, params: dict,
+                         h0: jax.Array, c0: jax.Array, h0r: jax.Array,
+                         c0r: jax.Array, mask: jax.Array, key: jax.Array,
+                         deterministic: bool, emission_mode: str):
+    """Both decoding directions in ONE scan (carry stacked on a leading
+    axis of size 2, like rnn.run_rnn_layer_bidir) — two sequential scans
+    would serialize on a TPU core.  Direction 1 consumes flipped
+    masks/noise; its stacked outputs are flipped back to position-major by
+    the caller.  Only for LSTM/GRU/RNN cells (ESN uses the two-scan path).
+    """
+    b, t = mask.shape
+    f = cfg.output_size
+    d = dist.choose_distribution(cfg.emission_distr_name)
+
+    cell = _stack_params(params["rnn_cell"], params["rnn_cell_reverse"])
+    emission = _stack_params(
+        params["emission_sampler"]["to_parameters"],
+        params["emission_sampler_reverse"]["to_parameters"])
+
+    mask_f = jnp.swapaxes(mask, 0, 1)[:, None, :, None]      # (T,1,B,1)
+    mask_t = jnp.concatenate([mask_f, jnp.flip(mask_f, 0)], axis=1)
+    prev_mask_t = jnp.concatenate(
+        [jnp.zeros_like(mask_t[:1]), mask_t[:-1]], axis=0)
+    k_noise, k_drop = jax.random.split(key)
+    noise_t = d.noise(k_noise, (t, 2, b, f), h0.dtype)
+    if deterministic or cfg.input_dropout <= 0.0:
+        drop_t = None
+    elif cfg.input_dropout >= 1.0:
+        drop_t = jnp.zeros((t, 2, b, f), h0.dtype)
+    else:
+        keep = jax.random.bernoulli(k_drop, 1.0 - cfg.input_dropout,
+                                    (t, 2, b, f))
+        drop_t = keep.astype(h0.dtype) / (1.0 - cfg.input_dropout)
+
+    h_init = jnp.stack([h0, h0r])
+    c_init = jnp.stack([c0, c0r])
+    x0 = jnp.zeros((2, b, f), h0.dtype)
+
+    def step(carry, inp):
+        h, c, x_prev = carry
+        if drop_t is None:
+            mt, pmt, eps = inp
+        else:
+            mt, pmt, eps, dmask = inp
+        x = jnp.where(pmt, x_prev, 0.0)
+        if drop_t is not None:
+            x = x * dmask
+        h2, c2 = _stacked_cell_step(cfg, cell, x, h, c)
+        em = _stacked_mlp_k(emission, h2)
+        if emission_mode == "mean":
+            x_next = em[0]
+        else:
+            x_next = d.from_noise(eps, *em)
+        h = jnp.where(mt, h2, h)
+        c = jnp.where(mt, c2, c)
+        return (h, c, x_next), (h2, em, x_next)
+
+    xs = ((mask_t, prev_mask_t, noise_t) if drop_t is None
+          else (mask_t, prev_mask_t, noise_t, drop_t))
+    _, (rnn_out, em_params, out) = jax.lax.scan(
+        step, (h_init, c_init, x0), xs, unroll=rnn_mod.SCAN_UNROLL)
+
+    def split_dirs(x):  # (T, 2, B, .) -> fwd (B,T,.), rev (B,T,.)
+        fwd = jnp.swapaxes(x[:, 0], 0, 1)
+        rev = jnp.swapaxes(jnp.flip(x[:, 1], 0), 0, 1)
+        return fwd, rev
+
+    rnn_f, rnn_r = split_dirs(rnn_out)
+    out_f, out_r = split_dirs(out)
+    em_f, em_r = zip(*(split_dirs(p) for p in em_params))
+    return (rnn_f, tuple(em_f), out_f), (rnn_r, tuple(em_r), out_r)
+
+
 def _bce_with_logits_sum(logits: jax.Array, targets: jax.Array,
                          mask: jax.Array) -> jax.Array:
     """Sum-reduced binary cross entropy with logits (stable form), parity
@@ -240,21 +348,28 @@ def decoder_apply(params: dict, cfg: DecoderConfig, features: jax.Array,
     both = hidden.reshape(b, -1, 2)
     h0_f, c0_f = _split_hidden(cfg, both[..., 0])
     h0_r, c0_r = _split_hidden(cfg, both[..., 1])
-    key_f = jax.random.fold_in(key, 0)
-    key_r = jax.random.fold_in(key, 1)
 
-    rnn_out_f, em_f, out_f = _run_direction(
-        cfg, params["rnn_cell"], params["emission_sampler"], h0_f, c0_f,
-        mask, key_f, deterministic, emission_mode)
-    # Reverse: scan step s processes position T-1-s; flip masks in, flip
-    # stacked outputs back to position-major.
-    rev_mask = jnp.flip(mask, axis=1)
-    rnn_out_r, em_r, out_r = _run_direction(
-        cfg, params["rnn_cell_reverse"], params["emission_sampler_reverse"],
-        h0_r, c0_r, rev_mask, key_r, deterministic, emission_mode)
-    rnn_out_r = jnp.flip(rnn_out_r, axis=1)
-    em_r = tuple(jnp.flip(p, axis=1) for p in em_r)
-    out_r = jnp.flip(out_r, axis=1)
+    if cfg.rnn_type != "ESN":
+        (rnn_out_f, em_f, out_f), (rnn_out_r, em_r, out_r) = (
+            _run_both_directions(cfg, params, h0_f, c0_f, h0_r, c0_r, mask,
+                                 jax.random.fold_in(key, 0), deterministic,
+                                 emission_mode))
+    else:
+        key_f = jax.random.fold_in(key, 0)
+        key_r = jax.random.fold_in(key, 1)
+        rnn_out_f, em_f, out_f = _run_direction(
+            cfg, params["rnn_cell"], params["emission_sampler"], h0_f, c0_f,
+            mask, key_f, deterministic, emission_mode)
+        # Reverse: scan step s processes position T-1-s; flip masks in,
+        # flip stacked outputs back to position-major.
+        rev_mask = jnp.flip(mask, axis=1)
+        rnn_out_r, em_r, out_r = _run_direction(
+            cfg, params["rnn_cell_reverse"],
+            params["emission_sampler_reverse"], h0_r, c0_r, rev_mask, key_r,
+            deterministic, emission_mode)
+        rnn_out_r = jnp.flip(rnn_out_r, axis=1)
+        em_r = tuple(jnp.flip(p, axis=1) for p in em_r)
+        out_r = jnp.flip(out_r, axis=1)
 
     offset_logits_f = mlp_mod.mlp_apply(params["offset_predictor"],
                                         rnn_out_f).squeeze(-1)
