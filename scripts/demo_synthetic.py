@@ -86,6 +86,7 @@ def main():
     ap.add_argument("--bidirectional_decoder", action="store_true",
                     help="the reference's anti-posterior-collapse option")
     ap.add_argument("--learning_rate", type=float, default=1.0)
+    ap.add_argument("--seed", type=int, default=1111)
     args = ap.parse_args()
 
     work = tempfile.mkdtemp(prefix="demo-")
@@ -101,7 +102,7 @@ def main():
         "--encoder_rnn_hidden_size", str(args.hidden),
         "--decoder_rnn_hidden_size", str(args.hidden),
         "--mlp_hidden_size", str(args.hidden), "-N", "11.0",
-        "-l", str(args.learning_rate),
+        "-l", str(args.learning_rate), "-s", str(args.seed),
         "--speaker_embed_dim", "16", "-d", args.device,
         "--matmul_precision", "default", "--length_sorted_batches"]
     if args.bidirectional_decoder:
@@ -124,6 +125,7 @@ def main():
     clusters = {int(c): int(n) for c, n
                 in zip(*np.unique(assign, return_counts=True))}
     payload = {
+        "seed": args.seed,
         "segments": args.segments, "epochs": args.epochs,
         "train_wall_s": round(train_wall, 1),
         "segments_per_sec_train": round(
@@ -132,8 +134,14 @@ def main():
         "num_clusters_used": len(clusters),
         "cluster_sizes": clusters,
     }
-    with open(os.path.join(REPO, "DEMO.json"), "w") as f:
-        json.dump(payload, f, indent=1)
+    demo_path = os.path.join(REPO, "DEMO.json")
+    existing = []
+    if os.path.isfile(demo_path):
+        prev = json.load(open(demo_path))
+        existing = prev if isinstance(prev, list) else [prev]
+    existing = [e for e in existing if e.get("seed") != args.seed] + [payload]
+    with open(demo_path, "w") as f:
+        json.dump(existing, f, indent=1)
     print(json.dumps(payload))
 
 
