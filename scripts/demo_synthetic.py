@@ -87,6 +87,7 @@ def main():
                     help="the reference's anti-posterior-collapse option")
     ap.add_argument("--learning_rate", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=1111)
+    ap.add_argument("--prior_concentration", type=float, default=1.0)
     args = ap.parse_args()
 
     work = tempfile.mkdtemp(prefix="demo-")
@@ -103,6 +104,7 @@ def main():
         "--decoder_rnn_hidden_size", str(args.hidden),
         "--mlp_hidden_size", str(args.hidden), "-N", "11.0",
         "-l", str(args.learning_rate), "-s", str(args.seed),
+        "--prior_concentration", str(args.prior_concentration),
         "--speaker_embed_dim", "16", "-d", args.device,
         "--matmul_precision", "default", "--length_sorted_batches"]
     if args.bidirectional_decoder:
