@@ -60,8 +60,6 @@ def synth_corpus(num_segments: int, out_dir: str, seed: int = 0):
                      "valid" if i % 10 == 9 else "train",
                      "s%d" % (i % 2), "chirp" if kind == 0 else "noise"))
         cursor += dur + 0.02
-    gaps = []
-    pos = 0.05
     wav = np.zeros(int(cursor * FS) + FS, np.int16)
     for (onset, offset, _, _, _, _), seg in zip(rows, samples):
         wav[int(round(onset * FS)):int(round(onset * FS)) + len(seg)] = seg
@@ -70,7 +68,6 @@ def synth_corpus(num_segments: int, out_dir: str, seed: int = 0):
                                      "data_type", "speaker", "label"])
     ann = os.path.join(out_dir, "annotation.csv")
     df.to_csv(ann, index=False)
-    _ = gaps, pos
     return ann, df
 
 
