@@ -175,6 +175,11 @@ class Learner:
         self._checkpointer = ckpt.AsyncCheckpointer()
         logger.info("Device: {device}".format(
             device=device or str(self.device)))
+        if self.device.platform != "cpu":
+            # resolve the kernel backend once, outside jit (auto mode
+            # measures one pallas_call dispatch; utils/backend_select.py)
+            from ..utils.backend_select import backend_report
+            logger.info("Kernel backend: {r}".format(r=backend_report()))
 
         if self.retrieval:
             self.last_epoch = self.retrieve_model(device=device)
@@ -295,6 +300,13 @@ class Learner:
     def _pick_device(device: str):
         if device.startswith("cpu"):
             return jax.devices("cpu")[0]
+        if device.startswith("cuda"):
+            # reference CLI accepts `-d cuda` (learning.py:360); map it to
+            # the default accelerator with an explicit notice instead of
+            # failing or silently ignoring it
+            logger.info("Device 'cuda' requested; using the default "
+                        "accelerator {dev} (this is the TPU build)."
+                        .format(dev=jax.devices()[0]))
         return jax.devices()[0]
 
     def _setup_mesh(self, num_data_partitions: Optional[int]) -> None:
@@ -490,12 +502,18 @@ class Learner:
               momentum: float = 0.9, gradient_clip: float = 0.25,
               patience: int = 0) -> None:
         sorted_b = getattr(self, "length_sorted_batches", False)
+        # Only a device mesh needs row-count divisibility; off-mesh the
+        # last partial batch runs at its true size (one extra compiled
+        # program per bucket instead of up to B-1 wasted padding rows).
+        pad_b = self.mesh is not None
         train_dataloader = DataLoader(train_dataset, frontend,
                                       batch_size=batch_size_train,
-                                      shuffle=True, length_sorted=sorted_b)
+                                      shuffle=True, length_sorted=sorted_b,
+                                      pad_to_batch_size=pad_b)
         valid_dataloader = DataLoader(valid_dataset, frontend,
                                       batch_size=batch_size_valid,
-                                      length_sorted=sorted_b)
+                                      length_sorted=sorted_b,
+                                      pad_to_batch_size=pad_b)
         statics = self._statics(frontend, epsilon, data_normalizer)
 
         if self.retrieval:
@@ -507,12 +525,21 @@ class Learner:
             self._momentum = momentum
             self._tx = optim.make_optimizer(learning_rate, momentum,
                                             self.gradient_clip)
-            if self.checkpoint.get("optimizer") is None:
+            saved_opt = self.checkpoint.get("optimizer")
+            if saved_opt is None:
                 # imported torch checkpoint: fresh optimizer state
                 self.opt_state = self._tx.init(self.params)
-            else:
-                self.opt_state = ckpt.tree_to_device(
-                    self.checkpoint["optimizer"], self.device)
+            elif isinstance(saved_opt, ckpt.OptimizerLeaves):
+                # v2 container: leaves only; rebuild the optax tree
+                # structure from a fresh init (same momentum/clip, so the
+                # structures match; see train/checkpoint.py docstring)
+                template = self._tx.init(self.params)
+                self.opt_state = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(template),
+                    [jax.device_put(leaf, self.device)
+                     for leaf in saved_opt.leaves])
+            else:  # round-1 pickle format: the full pytree was stored
+                self.opt_state = ckpt.tree_to_device(saved_opt, self.device)
             self.lr_scheduler = optim.ReduceLROnPlateau()
             self.lr_scheduler.load_state_dict(
                 self.checkpoint["lr_scheduler"])
@@ -569,7 +596,7 @@ class Learner:
 
             new_lr = self.lr_scheduler.step(
                 mean_valid_loss, optim.get_learning_rate(self.opt_state))
-            optim.set_learning_rate(self.opt_state, new_lr)
+            self.opt_state = optim.with_learning_rate(self.opt_state, new_lr)
             if self.latent_type == "abcd" and epoch == pretrain_epochs:
                 self.lr_scheduler.reset_best()
                 logger.info("END OF PRETRAINING.")
@@ -611,7 +638,15 @@ class Learner:
         logger.info("Config successfully saved.")
 
     def retrieve_model(self, checkpoint_path: Optional[str] = None,
-                       device: str = "") -> int:
+                       device: str = "", strict: bool = True) -> int:
+        """Rebuild the model from the self-describing checkpoint.
+
+        The encoder is always loaded tolerantly — the reference's
+        ``load_state_dict(..., strict=False)`` (learning.py:325) — and
+        the other modules tolerantly when ``strict=False``: missing
+        entries keep their fresh initialization, unexpected entries are
+        dropped, both with a logged warning (schema-drift path).
+        """
         if checkpoint_path is None:
             checkpoint_path = os.path.join(self.save_dir,
                                            ckpt.CHECKPOINT_NAME)
@@ -633,11 +668,20 @@ class Learner:
         dec_cfg = DecoderConfig.from_init_parameters(
             c["decoder_init_parameters"])
         self.model_cfg = vae.ModelConfig(enc_cfg, latent_cfg, dec_cfg)
-        self.params = ckpt.tree_to_device({
-            "encoder": c["encoder"],
-            "feature_sampler": c["feature_sampler"],
-            "decoder": c["decoder"],
-        }, self.device)
+        with jax.default_device(self.device):
+            template = vae.model_init(jax.random.PRNGKey(0), self.model_cfg)
+        merged = {
+            "encoder": ckpt.overlay_params(
+                template["encoder"], c["encoder"], "encoder",
+                strict=False, log=logger),
+            "feature_sampler": ckpt.overlay_params(
+                template["feature_sampler"], c["feature_sampler"],
+                "feature_sampler", strict=strict, log=logger),
+            "decoder": ckpt.overlay_params(
+                template["decoder"], c["decoder"], "decoder",
+                strict=strict, log=logger),
+        }
+        self.params = ckpt.tree_to_device(merged, self.device)
         self.gradient_clip = c["gradient_clip"]
         self.key = jnp.asarray(c["random_state"])
         return c["epoch"]

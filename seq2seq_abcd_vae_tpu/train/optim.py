@@ -42,13 +42,21 @@ def get_learning_rate(opt_state) -> float:
     return float(opt_state.hyperparams["learning_rate"])
 
 
-def set_learning_rate(opt_state, lr: float) -> None:
-    """In-place update of the injected hyperparameter (host-side, between
-    epochs).  Stored as an uncommitted numpy scalar so it follows whatever
-    sharding the surrounding jit assigns (single-device or mesh)."""
-    import numpy as np
+def with_learning_rate(opt_state, lr: float):
+    """Functional update of the injected learning-rate hyperparameter
+    (host-side, between epochs).  Returns a new opt_state; the new scalar
+    is explicitly placed with the old one's sharding so the state keeps
+    its single-device or mesh placement after a plateau reduction."""
+    import jax
+    import jax.numpy as jnp
+
     old = opt_state.hyperparams["learning_rate"]
-    opt_state.hyperparams["learning_rate"] = np.asarray(lr, dtype=old.dtype)
+    new = jnp.asarray(lr, dtype=old.dtype)
+    if isinstance(old, jax.Array):
+        new = jax.device_put(new, old.sharding)
+    hyperparams = dict(opt_state.hyperparams)
+    hyperparams["learning_rate"] = new
+    return opt_state._replace(hyperparams=hyperparams)
 
 
 @dataclass

@@ -59,16 +59,15 @@ def test_same_seed_same_params(toy, tmp_path):
     (the reference's analogue is cudnn.deterministic + manual_seed,
     learning.py:77-85; JAX's functional key-split RNG gives the same
     guarantee for free)."""
-    import pickle
-
     import jax
+
+    from seq2seq_abcd_vae_tpu.train.checkpoint import load_checkpoint
 
     def run(tag):
         save = tmp_path / tag
         learning_main("abcd", [str(toy), str(toy / "ann.csv"), "-S",
                                str(save), "-j", "r", "-s", "777"] + SMALL)
-        with open(save / "r" / "checkpoint.pt", "rb") as f:
-            return pickle.load(f)
+        return load_checkpoint(str(save / "r" / "checkpoint.pt"))
 
     a, b = run("a"), run("b")
     for mod in ("encoder", "feature_sampler", "decoder"):

@@ -2,6 +2,7 @@
 ReduceLROnPlateau, reference: ABCD-VAE/learning.py:158-163,245-288)."""
 
 import numpy as np
+import pytest
 import torch
 
 import jax
@@ -40,7 +41,8 @@ def test_learning_rate_injection():
     params = {"w": jnp.ones(3)}
     state = tx.init(params)
     assert optim.get_learning_rate(state) == 1.0
-    optim.set_learning_rate(state, 0.1)
+    state = optim.with_learning_rate(state, 0.1)
+    assert optim.get_learning_rate(state) == pytest.approx(0.1)
     updates, state = tx.update({"w": jnp.ones(3)}, state, params)
     np.testing.assert_allclose(np.asarray(updates["w"]), -0.1, rtol=1e-6)
 
