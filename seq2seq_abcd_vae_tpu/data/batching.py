@@ -10,8 +10,11 @@ TPU-first changes:
 - every batch is a static-shaped (B, L_bucket) float32 audio buffer with
   reflection centering already materialized (see data.audio), plus frame
   lengths; padding rows have length 0 and are masked out of every loss;
-- L is bucketed (default: next power of two over the frame count) so the
-  number of distinct compiled programs is O(log max_T), not O(#shapes);
+- L is bucketed by a COST-AWARE per-corpus bucket set: ~num_buckets frame
+  counts at the dataset's length quantiles (rounded up to a lane-friendly
+  multiple), so the compiled-program count stays O(num_buckets) while the
+  padding waste tracks the actual length distribution instead of the up-to
+  -2x overhead of power-of-two rounding;
 - is_offset targets are *derived on device* from lengths (t == length-1),
   so nothing but audio crosses the host->device boundary.
 """
@@ -28,11 +31,29 @@ from .audio import SegmentDataset, center_pad_segment
 
 
 def default_bucket_fn(num_frames: int, min_bucket: int = 32) -> int:
-    """Round the frame count up to the next power of two (>= min_bucket)."""
+    """Round the frame count up to the next power of two (>= min_bucket).
+    Fallback used when no corpus statistics are available."""
     b = min_bucket
     while b < num_frames:
         b *= 2
     return b
+
+
+def quantile_bucket_edges(frame_counts: np.ndarray, num_buckets: int = 6,
+                          min_bucket: int = 32,
+                          multiple: int = 16) -> list[int]:
+    """Per-corpus bucket set: frame counts at num_buckets upper quantiles
+    of the length distribution, rounded UP to `multiple` and deduped.  The
+    top edge always covers the corpus max, so every batch fits."""
+    counts = np.asarray(frame_counts)
+    counts = counts[counts > 0]
+    if counts.size == 0:
+        return [min_bucket]
+    qs = np.quantile(counts, np.linspace(0.0, 1.0, num_buckets + 1)[1:],
+                     method="higher")
+    edges = sorted({max(min_bucket, int(-(-int(q) // multiple) * multiple))
+                    for q in qs})
+    return edges
 
 
 @dataclass
@@ -95,7 +116,8 @@ class DataLoader:
     def __init__(self, dataset: SegmentDataset, frontend: FrontendSpec,
                  batch_size: int = 1, shuffle: bool = False,
                  seed: int = 1111, pad_to_batch_size: bool = True,
-                 min_bucket: int = 32, length_sorted: bool = False):
+                 min_bucket: int = 32, length_sorted: bool = False,
+                 num_buckets: int = 6):
         self.dataset = dataset
         self.frontend = frontend
         self.batch_size = batch_size
@@ -104,6 +126,37 @@ class DataLoader:
         self.min_bucket = min_bucket
         self.length_sorted = length_sorted
         self._rng = np.random.default_rng(seed)
+        self.bucket_edges = quantile_bucket_edges(
+            self._frames_for_lengths(dataset.lengths_np),
+            num_buckets=num_buckets, min_bucket=min_bucket)
+
+    def _frames_for_lengths(self, lengths: np.ndarray) -> np.ndarray:
+        fe = self.frontend
+        padded = lengths + (2 * fe.pad if fe.centering else 0)
+        return np.where(padded >= fe.frame_length,
+                        1 + (padded - fe.frame_length) // fe.step_size,
+                        0).astype(np.int32)
+
+    def bucket_for(self, max_frames: int) -> int:
+        for edge in self.bucket_edges:
+            if edge >= max_frames:
+                return edge
+        return default_bucket_fn(max_frames, self.min_bucket)
+
+    def epoch_padding_stats(self) -> dict:
+        """One epoch's padded-vs-real frame accounting (advances the
+        shuffle RNG like a real epoch; call on a throwaway loader for
+        pure measurement)."""
+        real = padded = rows = real_rows = 0
+        for b in self:
+            rows += len(b.num_frames)
+            real_rows += b.num_real
+            padded += b.bucket_frames * len(b.num_frames)
+            real += int(b.num_frames.sum())
+        return {"real_frames": real, "padded_frames": padded,
+                "rows": rows, "real_rows": real_rows,
+                "frame_waste_frac": 0.0 if padded == 0
+                else 1.0 - real / padded}
 
     def get_num_batches(self) -> int:
         n = len(self.dataset)
@@ -140,15 +193,8 @@ class DataLoader:
         ixs = [ds.index_labels[p] for p in pos]
         segs = [ds.segment_raw_pos(p) for p in pos]
         lengths = ds.lengths_np[pos]
-        if fe.centering:
-            padded = lengths + 2 * fe.pad
-        else:
-            padded = lengths
-        frames = np.where(
-            padded >= fe.frame_length,
-            1 + (padded - fe.frame_length) // fe.step_size, 0).astype(
-            np.int32)
-        bucket = default_bucket_fn(int(frames.max()), self.min_bucket)
+        frames = self._frames_for_lengths(lengths)
+        bucket = self.bucket_for(int(frames.max()))
         b = (self.batch_size if self.pad_to_batch_size else len(ixs))
         dtype = (np.int16 if all(s.dtype == np.int16 for s in segs)
                  else np.float32)

@@ -124,7 +124,8 @@ class Encoder(Learner):
                      "features": "feature_value"}[mode]
         var_col = "category_ix" if mode == "probs" else "dimension"
         statics = self._statics(frontend, epsilon, normalizer)
-        dataloader = DataLoader(dataset, frontend, batch_size=batch_size)
+        dataloader = DataLoader(dataset, frontend, batch_size=batch_size,
+                                pad_to_batch_size=False)
         rename_existing_file(save_path)
         if "label" in dataset.df_annotation.columns:
             df_ann = dataset.df_annotation.drop(
@@ -155,7 +156,8 @@ class Encoder(Learner):
         if parameter_ix2name is None:
             parameter_ix2name = {}
         statics = self._statics(frontend, epsilon, normalizer)
-        dataloader = DataLoader(dataset, frontend, batch_size=batch_size)
+        dataloader = DataLoader(dataset, frontend, batch_size=batch_size,
+                                pad_to_batch_size=False)
         encoded = []
         for batch, param_tuple in self._pipelined(dataloader, statics,
                                                   "params"):
