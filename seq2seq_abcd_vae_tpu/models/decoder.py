@@ -25,6 +25,15 @@ Semantics reproduced over padded/masked batches:
 
 The time axis is the bucket max-T; masking freezes finished rows, which
 is exactly the packed "shrinking batch" computation (model.py:175-177).
+
+Hot-loop structure (the sequential scan is bound by the COUNT of small
+matmuls, not FLOPs): the emission MLP's first layer is fused into the
+recurrent matmul and software-pipelined one step late — scan step s
+computes em(h_{s-1}) only to sample the feedback input — so the body runs
+3 sequential matmuls (fused h-projection, emission lin2, feedback x
+projection) instead of 4; loss-bearing emission parameters and emitted
+samples are recomputed post-scan from the stacked hidden states as large
+(B*T)-row MXU matmuls using the same presampled noise.
 """
 
 from __future__ import annotations
@@ -95,13 +104,6 @@ def _cell_init(key: jax.Array, cfg: DecoderConfig) -> dict:
                                 rnn_mod.NUM_GATES[cfg.rnn_type])
 
 
-def _cell_step(cfg: DecoderConfig, params: dict, x: jax.Array,
-               h: jax.Array, c: jax.Array):
-    if cfg.rnn_type == "ESN":
-        return esn_mod.esn_step(params, x, h, cfg.esn_leak), c
-    return rnn_mod.cell_apply(cfg.rnn_type, params, x, (h, c))
-
-
 def _split_hidden(cfg: DecoderConfig, hidden: jax.Array):
     """Torch-interleave split of the initial state (model.py:100-105)."""
     b = hidden.shape[0]
@@ -112,93 +114,35 @@ def _split_hidden(cfg: DecoderConfig, hidden: jax.Array):
     return h, jnp.zeros_like(h)
 
 
-def _run_direction(cfg: DecoderConfig, cell_params: dict,
-                   emission_params: dict, h0: jax.Array, c0: jax.Array,
-                   step_mask: jax.Array, key: jax.Array,
-                   deterministic: bool, emission_mode: str):
-    """One decoding direction over scan steps 0..T-1.
+def _fused_recurrent_weight(cfg: DecoderConfig, cell_params: dict,
+                            emission_params: dict):
+    """Concatenate the cell's recurrent weight with the emission MLP's
+    first layer: ONE (B,H)x(H, gates*H + k*mlp) product per scan step
+    computes both the recurrent gate pre-activations and the (pipelined)
+    emission hidden of the PREVIOUS step — the decoder hot loop is bound
+    by the count of small sequential matmuls, not FLOPs (reference hot
+    loop: model.py:165-196).
 
-    step_mask: (B, T) validity *in scan-step order* (flip it along time for
-    the reverse direction).  A row's input is gated to zero on its first
-    active step (zero first input, model.py:174,218) and to the previous
-    sample afterwards.
-
-    Returns stacked (B, T, .) arrays in scan-step order.
+    Returns (w_cat (H, G+k*mlp), gate_width G, k, mlp_width).
     """
-    b, t = step_mask.shape
-    f = cfg.output_size
-    d = dist.choose_distribution(cfg.emission_distr_name)
-
-    mask_t = jnp.swapaxes(step_mask, 0, 1)[..., None]  # (T, B, 1)
-    prev_mask_t = jnp.concatenate(
-        [jnp.zeros_like(mask_t[:1]), mask_t[:-1]], axis=0)
-    x0 = jnp.zeros((b, f), h0.dtype)
-
-    # All randomness is presampled in two bulk RNG calls: per-step
-    # jax.random inside lax.scan (split + threefry each iteration) costs
-    # more than the cell matmuls at these sizes.
-    k_noise, k_drop = jax.random.split(key)
-    noise_t = d.noise(k_noise, (t, b, f), h0.dtype)
-    if deterministic or cfg.input_dropout <= 0.0:
-        drop_t = None
-    elif cfg.input_dropout >= 1.0:
-        drop_t = jnp.zeros((t, b, f), h0.dtype)
-    else:
-        keep = jax.random.bernoulli(k_drop, 1.0 - cfg.input_dropout,
-                                    (t, b, f))
-        drop_t = keep.astype(h0.dtype) / (1.0 - cfg.input_dropout)
-
-    def step(carry, inp):
-        h, c, x_prev = carry
-        if drop_t is None:
-            mt, pmt, eps = inp
-        else:
-            mt, pmt, eps, dmask = inp
-        x = jnp.where(pmt, x_prev, 0.0)
-        if drop_t is not None:
-            x = x * dmask
-        h2, c2 = _cell_step(cfg, cell_params, x, h, c)
-        em = sampler_mod.sampler_apply(emission_params, h2)
-        if emission_mode == "mean":
-            x_next = em[0]  # sampler2mean(mean_ix=0), model.py:272-284
-        else:
-            x_next = d.from_noise(eps, *em)
-        h = jnp.where(mt, h2, h)
-        c = jnp.where(mt, c2, c)
-        return (h, c, x_next), (h2, em, x_next)
-
-    xs = ((mask_t, prev_mask_t, noise_t) if drop_t is None
-          else (mask_t, prev_mask_t, noise_t, drop_t))
-    _, (rnn_out, em_params, out) = jax.lax.scan(
-        step, (h0, c0, x0), xs, unroll=rnn_mod.SCAN_UNROLL)
-    # (T, B, .) -> (B, T, .)
-    rnn_out = jnp.swapaxes(rnn_out, 0, 1)
-    em_params = tuple(jnp.swapaxes(p, 0, 1) for p in em_params)
-    out = jnp.swapaxes(out, 0, 1)
-    return rnn_out, em_params, out
+    w1 = emission_params["to_parameters"]["lin1"]["w"]  # (k, H, mlp)
+    k, h_in, m = w1.shape
+    w1_flat = jnp.moveaxis(w1, 0, 1).reshape(h_in, k * m)
+    w_hh = cell_params["w_hh"]
+    return jnp.concatenate([w_hh, w1_flat], axis=1), w_hh.shape[1], k, m
 
 
-def _stack_params(a: dict, b: dict) -> dict:
-    return jax.tree_util.tree_map(lambda x, y: jnp.stack([x, y]), a, b)
-
-
-def _stacked_mlp_k(params: dict, x: jax.Array) -> tuple:
-    """Stacked per-direction MLP_To_k_Vecs: params (2, k, ...), x (2, B, I)
-    -> tuple over k of (2, B, O)."""
-    h = jnp.tanh(jnp.einsum("dbi,dkih->dkbh", x, params["lin1"]["w"])
-                 + params["lin1"]["b"][:, :, None, :])
-    out = (jnp.einsum("dkbh,dkho->dkbo", h, params["lin2"]["w"])
-           + params["lin2"]["b"][:, :, None, :])
-    return tuple(out[:, i] for i in range(out.shape[1]))
-
-
-def _stacked_cell_step(cfg: DecoderConfig, params: dict, x: jax.Array,
-                       h: jax.Array, c: jax.Array):
-    """Per-direction-stacked cell step: all tensors (2, B, .)."""
-    xp = (jnp.einsum("dbf,dfg->dbg", x, params["w_ih"])
-          + params["b_ih"][:, None, :])
-    hp = (jnp.einsum("dbh,dhg->dbg", h, params["w_hh"])
-          + params["b_hh"][:, None, :])
+def _gate_activations(cfg: DecoderConfig, cell_params: dict,
+                      x: jax.Array, hp: jax.Array, h: jax.Array,
+                      c: jax.Array):
+    """Cell nonlinearity given the precomputed recurrent projection hp
+    (= h @ w_hh, bias NOT yet added).  x is the (gated) feedback input."""
+    if cfg.rnn_type == "ESN":  # no biases (model.py:488)
+        h2 = ((1.0 - cfg.esn_leak) * h
+              + cfg.esn_leak * jnp.tanh(x @ cell_params["w_ih"] + hp))
+        return h2, c
+    xp = x @ cell_params["w_ih"] + cell_params["b_ih"]
+    hp = hp + cell_params["b_hh"]
     if cfg.rnn_type == "LSTM":
         i, f, g, o = jnp.split(xp + hp, 4, axis=-1)
         c2 = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
@@ -213,6 +157,101 @@ def _stacked_cell_step(cfg: DecoderConfig, params: dict, x: jax.Array,
     return jnp.tanh(xp + hp), c
 
 
+def _drop_mask(cfg: DecoderConfig, key: jax.Array, shape, dtype,
+               deterministic: bool):
+    if deterministic or cfg.input_dropout <= 0.0:
+        return None
+    if cfg.input_dropout >= 1.0:  # --greedy_decoder (model.py:94-95)
+        return jnp.zeros(shape, dtype)
+    keep = jax.random.bernoulli(key, 1.0 - cfg.input_dropout, shape)
+    return keep.astype(dtype) / (1.0 - cfg.input_dropout)
+
+
+def _run_direction(cfg: DecoderConfig, cell_params: dict,
+                   emission_params: dict, h0: jax.Array, c0: jax.Array,
+                   step_mask: jax.Array, key: jax.Array,
+                   deterministic: bool, emission_mode: str):
+    """One decoding direction over scan steps 0..T-1.
+
+    step_mask: (B, T) validity *in scan-step order* (flip it along time for
+    the reverse direction).  A row's input is gated to zero on its first
+    active step (zero first input, model.py:174,218) and to the previous
+    sample afterwards.
+
+    Software-pipelined emission: scan step s computes the emission of the
+    hidden state produced at step s-1 (needed only to SAMPLE the feedback
+    input) fused into the recurrent matmul, so the loop body has 3
+    sequential matmuls instead of 4; the emission parameters used by the
+    loss — and the emitted samples — are recomputed AFTER the scan from
+    the stacked hidden states as two large MXU matmuls over (B*T) rows,
+    with the same presampled noise, so they equal the in-scan values.
+
+    Returns stacked (B, T, .) arrays in scan-step order.
+    """
+    b, t = step_mask.shape
+    f = cfg.output_size
+    d = dist.choose_distribution(cfg.emission_distr_name)
+
+    mask_t = jnp.swapaxes(step_mask, 0, 1)[..., None]  # (T, B, 1)
+    prev_mask_t = jnp.concatenate(
+        [jnp.zeros_like(mask_t[:1]), mask_t[:-1]], axis=0)
+
+    # All randomness is presampled in two bulk RNG calls: per-step
+    # jax.random inside lax.scan (split + threefry each iteration) costs
+    # more than the cell matmuls at these sizes.
+    k_noise, k_drop = jax.random.split(key)
+    noise_t = d.noise(k_noise, (t, b, f), h0.dtype)
+    # step s consumes the noise that sampled position s-1's emission
+    noise_prev_t = jnp.concatenate(
+        [jnp.zeros_like(noise_t[:1]), noise_t[:-1]], axis=0)
+    drop_t = _drop_mask(cfg, k_drop, (t, b, f), h0.dtype, deterministic)
+
+    w_cat, gate_w, k, m = _fused_recurrent_weight(cfg, cell_params,
+                                                  emission_params)
+    b1 = emission_params["to_parameters"]["lin1"]["b"]  # (k, m)
+    w2 = emission_params["to_parameters"]["lin2"]["w"]  # (k, m, F)
+    b2 = emission_params["to_parameters"]["lin2"]["b"]  # (k, F)
+
+    def step(carry, inp):
+        h, c = carry
+        if drop_t is None:
+            mt, pmt, eps_prev = inp
+        else:
+            mt, pmt, eps_prev, dmask = inp
+        big = h @ w_cat                     # (B, G + k*m): ONE matmul
+        hp = big[:, :gate_w]
+        emh = jnp.tanh(big[:, gate_w:].reshape(-1, k, m) + b1)
+        em_prev = jnp.einsum("bkm,kmf->kbf", emh, w2) + b2[:, None, :]
+        if emission_mode == "mean":
+            x = em_prev[0]  # sampler2mean(mean_ix=0), model.py:272-284
+        else:
+            x = d.from_noise(eps_prev, *tuple(em_prev))
+        x = jnp.where(pmt, x, 0.0)
+        if drop_t is not None:
+            x = x * dmask
+        h2, c2 = _gate_activations(cfg, cell_params, x, hp, h, c)
+        h = jnp.where(mt, h2, h)
+        c = jnp.where(mt, c2, c)
+        return (h, c), h2
+
+    xs = ((mask_t, prev_mask_t, noise_prev_t) if drop_t is None
+          else (mask_t, prev_mask_t, noise_prev_t, drop_t))
+    _, rnn_out = jax.lax.scan(step, (h0, c0), xs,
+                              unroll=rnn_mod.SCAN_UNROLL)
+    rnn_out = jnp.swapaxes(rnn_out, 0, 1)   # (B, T, H)
+    # loss-bearing emission params + emitted samples: batched over B*T
+    em_params = sampler_mod.sampler_apply(emission_params, rnn_out)
+    if emission_mode == "mean":
+        out = em_params[0]
+    else:
+        out = d.from_noise(jnp.swapaxes(noise_t, 0, 1), *em_params)
+    return rnn_out, em_params, out
+
+
+def _stack_params(a: dict, b: dict) -> dict:
+    return jax.tree_util.tree_map(lambda x, y: jnp.stack([x, y]), a, b)
+
+
 def _run_both_directions(cfg: DecoderConfig, params: dict,
                          h0: jax.Array, c0: jax.Array, h0r: jax.Array,
                          c0r: jax.Array, mask: jax.Array, key: jax.Array,
@@ -221,7 +260,8 @@ def _run_both_directions(cfg: DecoderConfig, params: dict,
     axis of size 2, like rnn.run_rnn_layer_bidir) — two sequential scans
     would serialize on a TPU core.  Direction 1 consumes flipped
     masks/noise; its stacked outputs are flipped back to position-major by
-    the caller.  Only for LSTM/GRU/RNN cells (ESN uses the two-scan path).
+    the caller.  Same software-pipelined fused emission as _run_direction.
+    Only for LSTM/GRU/RNN cells (ESN uses the two-scan path).
     """
     b, t = mask.shape
     f = cfg.output_size
@@ -238,42 +278,66 @@ def _run_both_directions(cfg: DecoderConfig, params: dict,
         [jnp.zeros_like(mask_t[:1]), mask_t[:-1]], axis=0)
     k_noise, k_drop = jax.random.split(key)
     noise_t = d.noise(k_noise, (t, 2, b, f), h0.dtype)
-    if deterministic or cfg.input_dropout <= 0.0:
-        drop_t = None
-    elif cfg.input_dropout >= 1.0:
-        drop_t = jnp.zeros((t, 2, b, f), h0.dtype)
-    else:
-        keep = jax.random.bernoulli(k_drop, 1.0 - cfg.input_dropout,
-                                    (t, 2, b, f))
-        drop_t = keep.astype(h0.dtype) / (1.0 - cfg.input_dropout)
+    noise_prev_t = jnp.concatenate(
+        [jnp.zeros_like(noise_t[:1]), noise_t[:-1]], axis=0)
+    drop_t = _drop_mask(cfg, k_drop, (t, 2, b, f), h0.dtype, deterministic)
+
+    # fused per-direction recurrent weight (2, H, G + k*m)
+    w1 = emission["lin1"]["w"]                       # (2, k, H, m)
+    _, k, h_in, m = w1.shape
+    w1_flat = jnp.moveaxis(w1, 1, 2).reshape(2, h_in, k * m)
+    gate_w = cell["w_hh"].shape[2]
+    w_cat = jnp.concatenate([cell["w_hh"], w1_flat], axis=2)
+    b1 = emission["lin1"]["b"]                       # (2, k, m)
+    w2 = emission["lin2"]["w"]                       # (2, k, m, F)
+    b2 = emission["lin2"]["b"]                       # (2, k, F)
 
     h_init = jnp.stack([h0, h0r])
     c_init = jnp.stack([c0, c0r])
-    x0 = jnp.zeros((2, b, f), h0.dtype)
 
     def step(carry, inp):
-        h, c, x_prev = carry
+        h, c = carry
         if drop_t is None:
-            mt, pmt, eps = inp
+            mt, pmt, eps_prev = inp
         else:
-            mt, pmt, eps, dmask = inp
-        x = jnp.where(pmt, x_prev, 0.0)
+            mt, pmt, eps_prev, dmask = inp
+        big = jnp.einsum("dbh,dhg->dbg", h, w_cat)
+        hp = big[..., :gate_w]
+        emh = jnp.tanh(big[..., gate_w:].reshape(2, -1, k, m)
+                       + b1[:, None, :, :])
+        em_prev = (jnp.einsum("dbkm,dkmf->kdbf", emh, w2)
+                   + jnp.moveaxis(b2, 0, 1)[:, :, None, :])
+        if emission_mode == "mean":
+            x = em_prev[0]
+        else:
+            x = d.from_noise(eps_prev, *tuple(em_prev))
+        x = jnp.where(pmt, x, 0.0)
         if drop_t is not None:
             x = x * dmask
-        h2, c2 = _stacked_cell_step(cfg, cell, x, h, c)
-        em = _stacked_mlp_k(emission, h2)
-        if emission_mode == "mean":
-            x_next = em[0]
+        # stacked-direction gate activations
+        xp = (jnp.einsum("dbf,dfg->dbg", x, cell["w_ih"])
+              + cell["b_ih"][:, None, :])
+        hpb = hp + cell["b_hh"][:, None, :]
+        if cfg.rnn_type == "LSTM":
+            i, fg, g, o = jnp.split(xp + hpb, 4, axis=-1)
+            c2 = jax.nn.sigmoid(fg) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h2 = jax.nn.sigmoid(o) * jnp.tanh(c2)
+        elif cfg.rnn_type == "GRU":
+            xr, xz, xn = jnp.split(xp, 3, axis=-1)
+            hr, hz, hn = jnp.split(hpb, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            h2, c2 = (1.0 - z) * jnp.tanh(xn + r * hn) + z * h, c
         else:
-            x_next = d.from_noise(eps, *em)
+            h2, c2 = jnp.tanh(xp + hpb), c
         h = jnp.where(mt, h2, h)
         c = jnp.where(mt, c2, c)
-        return (h, c, x_next), (h2, em, x_next)
+        return (h, c), h2
 
-    xs = ((mask_t, prev_mask_t, noise_t) if drop_t is None
-          else (mask_t, prev_mask_t, noise_t, drop_t))
-    _, (rnn_out, em_params, out) = jax.lax.scan(
-        step, (h_init, c_init, x0), xs, unroll=rnn_mod.SCAN_UNROLL)
+    xs = ((mask_t, prev_mask_t, noise_prev_t) if drop_t is None
+          else (mask_t, prev_mask_t, noise_prev_t, drop_t))
+    _, rnn_out = jax.lax.scan(step, (h_init, c_init), xs,
+                              unroll=rnn_mod.SCAN_UNROLL)
 
     def split_dirs(x):  # (T, 2, B, .) -> fwd (B,T,.), rev (B,T,.)
         fwd = jnp.swapaxes(x[:, 0], 0, 1)
@@ -281,9 +345,16 @@ def _run_both_directions(cfg: DecoderConfig, params: dict,
         return fwd, rev
 
     rnn_f, rnn_r = split_dirs(rnn_out)
-    out_f, out_r = split_dirs(out)
-    em_f, em_r = zip(*(split_dirs(p) for p in em_params))
-    return (rnn_f, tuple(em_f), out_f), (rnn_r, tuple(em_r), out_r)
+    noise_fwd, noise_rev = split_dirs(noise_t)
+    em_f = sampler_mod.sampler_apply(params["emission_sampler"], rnn_f)
+    em_r = sampler_mod.sampler_apply(params["emission_sampler_reverse"],
+                                     rnn_r)
+    if emission_mode == "mean":
+        out_f, out_r = em_f[0], em_r[0]
+    else:
+        out_f = d.from_noise(noise_fwd, *em_f)
+        out_r = d.from_noise(noise_rev, *em_r)
+    return (rnn_f, em_f, out_f), (rnn_r, em_r, out_r)
 
 
 def _bce_with_logits_sum(logits: jax.Array, targets: jax.Array,
