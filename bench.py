@@ -1,15 +1,24 @@
 #!/usr/bin/env python
-"""Benchmark: ABCD-VAE training throughput (segments/sec) on this repo's
-TPU-native stack, vs the measured CPU-PyTorch reference baseline.
+"""Benchmark: ABCD-VAE training + encode throughput (segments/sec) on this
+repo's TPU-native stack, vs the measured CPU-PyTorch reference baseline.
 
 Workload = the reference's publication config (K=128, f=256, hidden 256,
-speaker_embed 256, batch 512, STFT 8ms/4ms, N=11) on toy_data segments
-replicated to 512 train rows — the same workload
-scripts/measure_reference_baseline.py times for the reference.
+speaker_embed 256, batch 512, STFT 8ms/4ms, N=11) on a SELF-CONTAINED
+synthetic mixed-length corpus (scripts/synth_corpus.py: 512 distinct
+segments, 8 syllable classes, 0.1-0.5 s durations) — a realistic
+length distribution rather than 6 replicated toy segments.
+BENCH_WORKLOAD=toy reproduces the round-1 replicated-toy workload
+(requires /root/reference/toy_data).
 
 Prints ONE JSON line:
 {"metric": "train_segments_per_sec", "value": N, "unit": "segments/sec",
- "vs_baseline": N / reference_sps}
+ "vs_baseline": N / reference_sps, "extra": {encode sps, backends,
+ padding stats, ...}}
+
+Env knobs: BENCH_SEGMENTS, BENCH_BATCH_SIZE, BENCH_BATCHES,
+BENCH_MATMUL_PRECISION, BENCH_STFT_METHOD, BENCH_LENGTH_SORTED,
+BENCH_WORKLOAD, SEQ2SEQ_RNN_BACKEND (scan|pallas|auto),
+SEQ2SEQ_SCAN_UNROLL.
 """
 
 import json
@@ -19,30 +28,34 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 import numpy as np
 import pandas as pd
 
 
-def find_toy_data():
-    for root in (os.path.join(REPO, "toy_data"), "/root/reference/toy_data"):
-        if os.path.isdir(root):
-            for f in os.listdir(root):
-                if f.startswith("annotation") and f.endswith(".csv"):
-                    return root, os.path.join(root, f)
-    raise FileNotFoundError("toy_data not found")
-
-
-def replicated_annotation(csv_path: str, num_segments: int,
-                          out_path: str) -> str:
+def replicated_toy_annotation(num_segments: int, work: str):
+    root = "/root/reference/toy_data"
+    csv_path = [os.path.join(root, f) for f in os.listdir(root)
+                if f.startswith("annotation") and f.endswith(".csv")][0]
     df = pd.read_csv(csv_path)
     base = df[df.data_type == "train"]
     reps = -(-num_segments // len(base))
     big = pd.concat([base] * reps, ignore_index=True).iloc[:num_segments]
     big["data_type"] = "train"
     out = pd.concat([big, df[df.data_type == "valid"]], ignore_index=True)
-    out.to_csv(out_path, index=False)
-    return out_path
+    ann = os.path.join(work, "ann.csv")
+    out.to_csv(ann, index=False)
+    return root, ann
+
+
+def make_workload(num_segments: int, work: str):
+    if os.environ.get("BENCH_WORKLOAD", "synthetic") == "toy":
+        return replicated_toy_annotation(num_segments, work)
+    from synth_corpus import synth_corpus
+    ann, _ = synth_corpus(work, num_segments, num_classes=8, seed=0,
+                          dur_range=(0.10, 0.50), valid_every=16)
+    return work, ann
 
 
 def main():
@@ -51,6 +64,7 @@ def main():
     timed_batches = int(os.environ.get("BENCH_BATCHES", 16))
     precision = os.environ.get("BENCH_MATMUL_PRECISION", "default")
     stft_method = os.environ.get("BENCH_STFT_METHOD", "fft")
+    length_sorted = os.environ.get("BENCH_LENGTH_SORTED") == "1"
 
     from seq2seq_abcd_vae_tpu.utils import (
         enable_persistent_compilation_cache)
@@ -58,18 +72,14 @@ def main():
 
     import tempfile
     work = tempfile.mkdtemp(prefix="bench-")
-    toy_root, toy_csv = find_toy_data()
-    ann = replicated_annotation(toy_csv, num_segments,
-                                os.path.join(work, "ann.csv"))
+    wav_root, ann = make_workload(num_segments, work)
 
     from seq2seq_abcd_vae_tpu.data.annotations import AnnotationParser
     from seq2seq_abcd_vae_tpu.data.batching import DataLoader, FrontendSpec
     from seq2seq_abcd_vae_tpu.train import optim
     from seq2seq_abcd_vae_tpu.train.learner import Learner, _train_step
 
-    length_sorted = os.environ.get("BENCH_LENGTH_SORTED") == "1"
-
-    parser = AnnotationParser(toy_root, ann)
+    parser = AnnotationParser(wav_root, ann)
     fs = parser.get_sample_freq()
     frame = int(np.floor(0.008 * fs))
     step = int(np.floor(0.004 * fs))
@@ -141,18 +151,66 @@ def main():
         placed = learner._place_batch(batch)
     jax.block_until_ready(params)  # wait for the last queued step
     timed = time.perf_counter() - t0
+    train_sps = done / timed
 
-    sps = done / timed
+    # ------------------------------------------------------------------
+    # Encode path (BASELINE.json names train AND encode segments/sec):
+    # checkpoint the trained params, reload through the real inference
+    # Encoder, and time the streamed CSV encode end-to-end.
+    learner.params = params
+    learner.opt_state = opt_state
+    learner.lr_scheduler = optim.ReduceLROnPlateau()
+    learner.save_model(epoch=1)
+    learner._checkpointer.wait()
+
+    from seq2seq_abcd_vae_tpu.infer.encode import Encoder
+    enc = Encoder(os.path.join(save_dir, "checkpoint.pt"),
+                  matmul_precision=precision, stft_method=stft_method)
+    full = parser.get_data()  # all rows, like the encode CLI
+    enc_csv = os.path.join(work, "probs.csv")
+    enc.encode_dataset(full, enc_csv, fe, 2.0 ** -15, 11.0, mode="probs",
+                       batch_size=batch_size)  # warmup (compiles buckets)
+    t0 = time.perf_counter()
+    enc.encode_dataset(full, enc_csv, fe, 2.0 ** -15, 11.0, mode="probs",
+                       batch_size=batch_size)
+    encode_sps = len(full) / (time.perf_counter() - t0)
+
+    # ------------------------------------------------------------------
+    from seq2seq_abcd_vae_tpu.utils.backend_select import backend_report
+    stats_loader = DataLoader(train, fe, batch_size=batch_size,
+                              shuffle=True, length_sorted=length_sorted)
+    pad_stats = stats_loader.epoch_padding_stats()
+
     baseline_path = os.path.join(REPO, "BASELINE_MEASURED.json")
-    vs = None
+    vs = ref_sps = None
     if os.path.isfile(baseline_path):
-        ref = json.load(open(baseline_path)).get(
-            "reference_train_segments_per_sec")
-        if ref:
-            vs = sps / ref
+        baseline = json.load(open(baseline_path))
+        key = ("reference_train_segments_per_sec_synthetic"
+               if os.environ.get("BENCH_WORKLOAD", "synthetic") != "toy"
+               else "reference_train_segments_per_sec")
+        ref_sps = baseline.get(key,
+                               baseline.get(
+                                   "reference_train_segments_per_sec"))
+        if ref_sps:
+            vs = train_sps / ref_sps
+
+    extra = {
+        "encode_segments_per_sec": round(encode_sps, 2),
+        "workload": os.environ.get("BENCH_WORKLOAD", "synthetic"),
+        "stft_method": stft_method,
+        "scan_unroll": os.environ.get("SEQ2SEQ_SCAN_UNROLL", "4"),
+        "matmul_precision": precision,
+        "length_sorted": length_sorted,
+        "bucket_edges": stats_loader.bucket_edges,
+        "frame_waste_frac": round(pad_stats["frame_waste_frac"], 4),
+        "reference_sps": ref_sps,
+    }
+    extra.update(backend_report())
     print(json.dumps({"metric": "train_segments_per_sec",
-                      "value": round(sps, 2), "unit": "segments/sec",
-                      "vs_baseline": None if vs is None else round(vs, 2)}))
+                      "value": round(train_sps, 2),
+                      "unit": "segments/sec",
+                      "vs_baseline": None if vs is None else round(vs, 2),
+                      "extra": extra}))
 
 
 if __name__ == "__main__":

@@ -69,6 +69,12 @@ def main():
     ap.add_argument("--batch_size", type=int, default=512)
     ap.add_argument("--batches", type=int, default=3,
                     help="timed batches (after a 1-batch warmup)")
+    ap.add_argument("--corpus", choices=("toy", "synthetic"),
+                    default="toy",
+                    help="'synthetic' = the mixed-length corpus bench.py "
+                         "trains on (scripts/synth_corpus.py), measured "
+                         "under the key "
+                         "reference_train_segments_per_sec_synthetic")
     args = ap.parse_args()
 
     patch_torch()
@@ -78,11 +84,19 @@ def main():
     import learning as ref_learning
 
     work = tempfile.mkdtemp(prefix="refbench-")
-    ann = replicated_annotation(args.segments, work)
+    if args.corpus == "synthetic":
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from synth_corpus import synth_corpus
+        ann, _ = synth_corpus(work, args.segments, num_classes=8, seed=0,
+                              dur_range=(0.10, 0.50), valid_every=16)
+        wav_root = work
+    else:
+        ann = replicated_annotation(args.segments, work)
+        wav_root = os.path.join(REFERENCE, "toy_data")
     save_dir = os.path.join(work, "run")
     os.makedirs(save_dir)
 
-    parser = data_utils.Data_Parser(os.path.join(REFERENCE, "toy_data"), ann)
+    parser = data_utils.Data_Parser(wav_root, ann)
     fs = parser.get_sample_freq()
     frame = int(0.008 * fs)
     step = int(0.004 * fs)
@@ -124,16 +138,21 @@ def main():
         done += n
     sps = done / timed
 
-    payload = {
-        "reference_train_segments_per_sec": sps,
-        "hardware": "cpu (PyTorch {})".format(torch.__version__),
-        "config": {"segments": args.segments,
-                   "batch_size": args.batch_size,
-                   "batches_timed": args.batches,
-                   "model": "ABCD publication config (K=128, f=256, "
-                            "hidden 256, speaker_embed 256)"},
-    }
+    key = ("reference_train_segments_per_sec_synthetic"
+           if args.corpus == "synthetic"
+           else "reference_train_segments_per_sec")
     out_path = os.path.join(REPO, "BASELINE_MEASURED.json")
+    payload = {}
+    if os.path.isfile(out_path):  # merge: keep the other corpus' number
+        payload = json.load(open(out_path))
+    payload[key] = sps
+    payload["hardware"] = "cpu (PyTorch {})".format(torch.__version__)
+    payload["config_" + args.corpus] = {
+        "segments": args.segments,
+        "batch_size": args.batch_size,
+        "batches_timed": args.batches,
+        "model": "ABCD publication config (K=128, f=256, "
+                 "hidden 256, speaker_embed 256)"}
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload))

@@ -55,17 +55,25 @@ def adjusted_rand_index(a, b):
     return (sum_comb - expected) / (max_index - expected)
 
 
-def make_workload(num_segments, out_dir):
+def make_workload(args, out_dir):
+    """Returns (wav_root, annotation_csv, truth_labels_by_index|None)."""
+    if args.corpus == "synthetic":
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        from synth_corpus import synth_corpus
+        ann, df = synth_corpus(out_dir, args.segments,
+                               num_classes=args.classes,
+                               seed=args.corpus_seed)
+        return out_dir, ann, df["label"].to_dict()
     src = os.path.join(REFERENCE, "toy_data")
     csv = [f for f in os.listdir(src) if f.endswith(".csv")][0]
     df = pd.read_csv(os.path.join(src, csv))
     base = df[df.data_type == "train"]
-    reps = -(-num_segments // len(base))
-    big = pd.concat([base] * reps, ignore_index=True).iloc[:num_segments]
+    reps = -(-args.segments // len(base))
+    big = pd.concat([base] * reps, ignore_index=True).iloc[:args.segments]
     out = pd.concat([big, df[df.data_type == "valid"]], ignore_index=True)
     path = os.path.join(out_dir, "ann.csv")
     out.to_csv(path, index=False)
-    return src, path
+    return src, path, None
 
 
 # ---------------------------------------------------------------------
@@ -86,6 +94,9 @@ def run_reference(wav_root, ann, args, work):
     learner = ref_learning.Learner(
         int(frame / 2 + 1), args.hidden, args.hidden, args.hidden,
         args.K, args.feature_dim, save_dir, device="cpu", seed=args.seed,
+        bidirectional_decoder=args.bidirectional_decoder,
+        decoder_self_feedback=not args.greedy_decoder,
+        prior_concentration=args.prior_concentration,
         num_speakers=parser.get_num_speakers(), speaker_embed_dim=None)
     trans = data_utils.Compose([
         data_utils.ToTensor(), data_utils.STFT(frame, step),
@@ -100,7 +111,7 @@ def run_reference(wav_root, ann, args, work):
     learner.learn(datasets["train"], datasets["valid"], args.epochs,
                   args.batch_size, args.batch_size,
                   pretrain_epochs=args.pretrain_epochs, learning_rate=1.0,
-                  momentum=0.0, gradient_clip=1.0, patience=0)
+                  momentum=0.0, gradient_clip=1.0, patience=args.patience)
     wall = time.time() - t0
 
     # final assignments on the full annotation
@@ -125,14 +136,20 @@ def run_ours(wav_root, ann, args, work):
     from seq2seq_abcd_vae_tpu.cli.encode_main import main as encode_main
     save_root = os.path.join(work, "ours")
     t0 = time.time()
-    learn_main("abcd", [
+    argv = [
         wav_root, ann, "-S", save_root, "-j", "run", "-e", str(args.epochs),
         "--pretrain_epochs", str(args.pretrain_epochs),
         "-b", str(args.batch_size), "-K", str(args.K), "-f",
         str(args.feature_dim), "--encoder_rnn_hidden_size",
         str(args.hidden), "--decoder_rnn_hidden_size", str(args.hidden),
         "--mlp_hidden_size", str(args.hidden), "-N", "11.0", "-d",
-        args.device, "-s", str(args.seed)])
+        args.device, "-s", str(args.seed), "-p", str(args.patience),
+        "--prior_concentration", str(args.prior_concentration)]
+    if args.bidirectional_decoder:
+        argv.append("--bidirectional_decoder")
+    if args.greedy_decoder:
+        argv.append("--greedy_decoder")
+    learn_main("abcd", argv)
     wall = time.time() - t0
     probs_csv = os.path.join(work, "ours-probs.csv")
     encode_main("probs", [
@@ -176,25 +193,60 @@ def main():
     ap.add_argument("--feature_dim", type=int, default=16)
     ap.add_argument("--device", type=str, default="cpu")
     ap.add_argument("--seed", type=int, default=1111)
+    ap.add_argument("--corpus", choices=("toy", "synthetic"), default="toy",
+                    help="'synthetic' = seed-stable multi-class corpus "
+                         "(scripts/synth_corpus.py); 'toy' = replicated "
+                         "reference toy_data segments")
+    ap.add_argument("--classes", type=int, default=3)
+    ap.add_argument("--corpus_seed", type=int, default=0,
+                    help="corpus generation seed (fixed across run seeds "
+                         "so every seed trains on the identical corpus)")
+    ap.add_argument("--bidirectional_decoder", action="store_true",
+                    help="the reference's documented anti-collapse option "
+                         "(learning.py:383) — NOTE: unrunnable in the "
+                         "unmodified reference (model.py:224 torch.cat on "
+                         "the LSTM (h,c) tuple; model.py:258 BCE on "
+                         "emission params); kept for ours-only runs")
+    ap.add_argument("--greedy_decoder", action="store_true",
+                    help="no decoder self-feedback (learning.py:380): the "
+                         "reference's working anti-collapse option; use "
+                         "for seed-stable parity corpora")
+    ap.add_argument("--patience", type=int, default=0)
+    ap.add_argument("--prior_concentration", type=float, default=1.0)
     ap.add_argument("--skip_reference", action="store_true")
+    ap.add_argument("--skip_ours", action="store_true")
     ap.add_argument("--out_name", type=str, default="PARITY.json")
     args = ap.parse_args()
 
     work = tempfile.mkdtemp(prefix="parity-")
-    wav_root, ann = make_workload(args.segments, work)
+    wav_root, ann, truth = make_workload(args, work)
 
-    ours_curves, ours_assign, ours_wall = run_ours(wav_root, ann, args, work)
-    payload = {"config": vars(args),
-               "ours": {"curves": ours_curves, "wall_s": ours_wall}}
+    payload = {"config": vars(args)}
+    ours_assign = None
+    if not args.skip_ours:
+        ours_curves, ours_assign, ours_wall = run_ours(wav_root, ann, args,
+                                                       work)
+        payload["ours"] = {"curves": ours_curves, "wall_s": ours_wall}
+        if truth is not None:
+            keys = sorted(ours_assign)
+            payload["ours"]["ari_vs_truth"] = adjusted_rand_index(
+                [truth[k] for k in keys], [ours_assign[k] for k in keys])
+            payload["ours"]["clusters"] = cluster_histogram(ours_assign)
     if not args.skip_reference:
         ref_curves, ref_assign, ref_wall = run_reference(wav_root, ann, args,
                                                          work)
+        payload["reference"] = {"curves": ref_curves, "wall_s": ref_wall}
+        if truth is not None:
+            keys = sorted(ref_assign)
+            payload["reference"]["ari_vs_truth"] = adjusted_rand_index(
+                [truth[k] for k in keys], [ref_assign[k] for k in keys])
+            payload["reference"]["clusters"] = cluster_histogram(ref_assign)
+    if ours_assign is not None and not args.skip_reference:
         keys = sorted(set(ours_assign) & set(ref_assign))
         ari = adjusted_rand_index([ref_assign[k] for k in keys],
                                   [ours_assign[k] for k in keys])
         rel = [abs(o - r) / abs(r) for o, r in
                zip(ours_curves["train_total"], ref_curves["train_total"])]
-        payload["reference"] = {"curves": ref_curves, "wall_s": ref_wall}
         payload["comparison"] = {
             "assignment_ari_ref_vs_ours": ari,
             "train_total_rel_diff_per_epoch": rel,
@@ -205,7 +257,9 @@ def main():
         }
     with open(os.path.join(REPO, args.out_name), "w") as f:
         json.dump(payload, f, indent=1)
-    print(json.dumps(payload.get("comparison", payload["ours"]), indent=1))
+    summary = payload.get("comparison") or {
+        k: v for k, v in payload.items() if k != "config"}
+    print(json.dumps(summary, indent=1))
     shutil.rmtree(work, ignore_errors=True)
 
 

@@ -30,10 +30,15 @@ NUM_GATES = {"LSTM": 4, "GRU": 3, "RNN": 1}
 # override with SEQ2SEQ_SCAN_UNROLL.
 SCAN_UNROLL = int(os.environ.get("SEQ2SEQ_SCAN_UNROLL", "4"))
 
-# Full-layer recurrence backend: 'scan' (lax.scan, default) or 'pallas'
+# Full-layer recurrence backend: 'scan' (lax.scan), 'pallas'
 # (ops/lstm_pallas.py — whole time loop in one kernel, weights pinned in
-# VMEM; LSTM only, other cell types always use scan).
-RNN_BACKEND = os.environ.get("SEQ2SEQ_RNN_BACKEND", "scan")
+# VMEM; LSTM only, other cell types always use scan), or 'auto' (default:
+# measure one pallas_call dispatch and pick; see utils/backend_select.py).
+
+
+def resolved_backend() -> str:
+    from ..utils.backend_select import resolve_rnn_backend
+    return resolve_rnn_backend()
 
 
 # ---------------------------------------------------------------------------
@@ -112,7 +117,7 @@ def run_rnn_layer(rnn_type: str, params: dict, x: jax.Array, mask: jax.Array,
     hidden = params["w_hh"].shape[0]
     xp = input_proj(params, x)  # (B, T, G) — one big matmul
     xp_t = jnp.swapaxes(xp, 0, 1)  # (T, B, G)
-    if rnn_type == "LSTM" and RNN_BACKEND == "pallas":
+    if rnn_type == "LSTM" and resolved_backend() == "pallas":
         from ..ops import lstm_pallas
         m_t = jnp.swapaxes(mask, 0, 1)
         interpret = jax.default_backend() != "tpu"
