@@ -171,6 +171,24 @@ def log_rescale(amplitude: jax.Array, epsilon: float,
     return jnp.log(amplitude + epsilon) / normalizer
 
 
+# User-pluggable frontends — the TPU-native analogue of the reference's
+# composable ToTensor/STFT/Transform/Compose chain (data_utils.py:106-148).
+# Downstream users swap the frontend by registering a jittable function
+#   fn(audio_f32 (B, L), frame_length, step_size, num_frames, epsilon,
+#      normalizer, window) -> (B, num_frames, bins)
+# and passing --stft_method custom:<name> (the name rides through
+# StepStatics as a static string, so each frontend compiles into the
+# whole-step XLA program like the built-ins).
+_CUSTOM_FRONTENDS: dict = {}
+
+
+def register_frontend(name: str, fn) -> None:
+    """Register fn under 'custom:<name>'.  Register before first use:
+    compiled programs key on the method STRING, so re-registering a
+    different fn under a used name won't invalidate cached executables."""
+    _CUSTOM_FRONTENDS[name] = fn
+
+
 @functools.partial(jax.jit, static_argnames=(
     "frame_length", "step_size", "num_frames", "window", "method",
     "epsilon", "normalizer"))
@@ -182,12 +200,21 @@ def log_spectrogram(audio: jax.Array, frame_length: int, step_size: int,
 
     method='pallas' dispatches to the fused TPU kernel
     (ops/stft_pallas.py) when the geometry allows (frame == 2*step) and
-    falls back to 'matmul' otherwise.
+    falls back to 'matmul' otherwise; method='custom:<name>' dispatches to
+    a register_frontend() hook.
     """
     if jnp.issubdtype(audio.dtype, jnp.integer):
         # int16 transfer format (exact cast, matches the reference's
         # astype(float32), data_utils.py:94)
         audio = audio.astype(jnp.float32)
+    if method.startswith("custom:"):
+        fn = _CUSTOM_FRONTENDS.get(method[len("custom:"):])
+        if fn is None:
+            raise KeyError(
+                "no frontend registered under %r; call "
+                "seq2seq_abcd_vae_tpu.ops.stft.register_frontend" % method)
+        return fn(audio, frame_length, step_size, num_frames, epsilon,
+                  normalizer, window)
     if method == "pallas":
         from . import stft_pallas
         if stft_pallas.supports(frame_length, step_size) and audio.ndim == 2:

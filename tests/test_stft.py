@@ -65,3 +65,31 @@ def test_log_rescale():
     got = stft_ops.log_rescale(amp, eps, norm)
     want = np.log(np.asarray(amp) + eps) / norm
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+
+def test_custom_frontend_hook(rng):
+    """register_frontend: a user frontend rides through the fused step as
+    method='custom:<name>' (the reference's pluggable Compose chain,
+    data_utils.py:106-148, TPU-natively)."""
+    calls = {}
+
+    def halved(audio, frame, step, num_frames, eps, norm, window):
+        calls["hit"] = True
+        base = stft_ops.log_spectrogram(audio, frame, step, num_frames,
+                                        eps, norm, window=window)
+        return base * 0.5
+
+    stft_ops.register_frontend("halved", halved)
+    x = rng.normal(size=(2, 1024)).astype(np.float32) * 3000.0
+    t = stft_ops.stft_num_frames(1024, 128, 64, centering=False)
+    got = stft_ops.log_spectrogram(jnp.asarray(x), 128, 64, t, 2.0 ** -15,
+                                   11.0, method="custom:halved")
+    want = stft_ops.log_spectrogram(jnp.asarray(x), 128, 64, t, 2.0 ** -15,
+                                    11.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want) * 0.5,
+                               rtol=1e-6)
+    assert calls["hit"]
+    import pytest
+    with pytest.raises(KeyError, match="register_frontend"):
+        stft_ops.log_spectrogram(jnp.asarray(x), 128, 64, t, 2.0 ** -15,
+                                 11.0, method="custom:missing")
