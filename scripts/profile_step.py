@@ -1,11 +1,12 @@
 """Micro-profiler for the jitted train step on the local accelerator.
 
-Times compile and steady-state step latency per (batch, bucket) shape and
-a few ablations (encoder only, frontend only), to guide kernel work
-without running the full bench.
+Times compile and steady-state step latency per (batch, bucket) shape,
+computes MFU from the compiled program's own FLOP count
+(XLA cost_analysis), and a few ablations (eval step, frontend, encoder,
+decoder), to guide kernel work without running the full bench.
 
 Usage: python scripts/profile_step.py [--batch 512] [--bucket 512]
-       [--precision default] [--ablate]
+       [--precision default] [--ablate] [--out PROFILE.json]
 """
 
 import argparse
@@ -19,6 +20,12 @@ sys.path.insert(0, REPO)
 import numpy as np
 import jax
 
+# sitecustomize pins jax_platforms=axon,cpu programmatically; honor an
+# explicit JAX_PLATFORMS env var (e.g. =cpu for host-side testing)
+_env_platforms = os.environ.get("JAX_PLATFORMS", "").strip()
+if _env_platforms and _env_platforms != jax.config.jax_platforms:
+    jax.config.update("jax_platforms", _env_platforms)
+
 
 def timeit(fn, *args, n=5, **kw):
     out = fn(*args, **kw)
@@ -30,6 +37,34 @@ def timeit(fn, *args, n=5, **kw):
     return (time.perf_counter() - t0) / n
 
 
+# Peak dense matmul throughput per chip (bf16), FLOP/s.  Sources: public
+# TPU spec sheets (v4 275T, v5e 197T, v5p 459T, v6e 918T bf16).
+_PEAK_BF16 = {
+    "v4": 275e12, "v5 lite": 197e12, "v5e": 197e12, "v5": 459e12,
+    "v5p": 459e12, "v6 lite": 918e12, "v6e": 918e12,
+}
+
+
+def peak_flops() -> float | None:
+    kind = jax.devices()[0].device_kind.lower()
+    for tag, peak in _PEAK_BF16.items():
+        if tag in kind:
+            return peak
+    return None
+
+
+def compiled_flops(jitted_call, *args, **kw) -> float | None:
+    """FLOPs of the compiled executable, from XLA's own cost analysis."""
+    try:
+        compiled = jitted_call.lower(*args, **kw).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=512)
@@ -37,6 +72,8 @@ def main():
     ap.add_argument("--precision", type=str, default="default")
     ap.add_argument("--stft_method", type=str, default="fft")
     ap.add_argument("--ablate", action="store_true")
+    ap.add_argument("--out", type=str, default=None,
+                    help="also write the numbers to this JSON file")
     args = ap.parse_args()
 
     jax.config.update("jax_default_matmul_precision", args.precision)
@@ -69,18 +106,44 @@ def main():
     spk = (np.arange(b) % 2).astype(np.int32)
     key = jax.random.PRNGKey(0)
 
-    def tr(p, o):
-        return _train_step(p, o, audio, nf, spk, key, 512.0, 1.0,
-                           statics=statics, no_sample=False,
-                           bucket_frames=t, tx=tx)
+    # _train_step donates params/opt_state; thread the returned state so
+    # repeated timing calls never reuse a donated buffer
+    state = {"p": params, "o": opt_state}
 
+    def tr():
+        p2, o2, m = _train_step(state["p"], state["o"], audio, nf, spk,
+                                key, 512.0, 1.0, statics=statics,
+                                no_sample=False, bucket_frames=t, tx=tx)
+        state["p"], state["o"] = p2, o2
+        return m
+
+    flops = compiled_flops(
+        _train_step, params, opt_state, audio, nf, spk, key, 512.0, 1.0,
+        statics=statics, no_sample=False, bucket_frames=t, tx=tx)
     t0 = time.perf_counter()
-    out = tr(params, opt_state)
+    out = tr()
     jax.block_until_ready(out)
     compile_s = time.perf_counter() - t0
-    step_s = timeit(lambda: tr(params, opt_state), n=5)
+    step_s = timeit(tr, n=5)
+    params, opt_state = state["p"], state["o"]
+    peak = peak_flops()
+    mfu = (flops / step_s / peak) if (flops and peak) else None
     print(f"train_step  B={b} T={t}: compile {compile_s:6.1f}s  "
           f"step {step_s * 1e3:8.2f}ms  -> {b / step_s:8.1f} seg/s")
+    if flops:
+        print(f"  XLA-counted FLOPs/step: {flops / 1e9:.2f} GFLOP"
+              + (f"  MFU (bf16 peak {peak / 1e12:.0f}T): {mfu * 100:.2f}%"
+                 if mfu is not None else ""))
+    report = {
+        "device": jax.devices()[0].device_kind,
+        "batch": b, "bucket": t, "precision": args.precision,
+        "compile_s": round(compile_s, 2),
+        "train_step_ms": round(step_s * 1e3, 3),
+        "segments_per_sec": round(b / step_s, 1),
+        "flops_per_step": flops,
+        "mfu_bf16_peak": None if mfu is None else round(mfu, 5),
+        "scan_unroll": os.environ.get("SEQ2SEQ_SCAN_UNROLL", "4"),
+    }
 
     if args.ablate:
         ev = timeit(lambda: _eval_step(params, audio, nf, spk, key, 512.0,
@@ -99,6 +162,29 @@ def main():
                                                      jax.numpy.asarray(nf)))
         et = timeit(ef, spec, n=10)
         print(f"encoder fwd only:              {et * 1e3:8.2f}ms")
+
+        from seq2seq_abcd_vae_tpu.models import decoder as dec_mod
+        feats = jax.numpy.asarray(
+            rng.normal(size=(b, 256)).astype(np.float32))
+        df = jax.jit(lambda f, s: dec_mod.decoder_apply(
+            params["decoder"], cfg.decoder, f, jax.numpy.asarray(nf), t,
+            speaker=jax.numpy.asarray(spk), ground_truth_out=s,
+            ground_truth_offset=jax.numpy.zeros((b, t)),
+            key=key).emission_loss)
+        dt = timeit(df, feats, spec, n=5)
+        print(f"decoder fwd only:              {dt * 1e3:8.2f}ms")
+        report["ablations_ms"] = {
+            "eval_step": round(ev * 1e3, 3),
+            "frontend": round(fet * 1e3, 3),
+            "encoder_fwd": round(et * 1e3, 3),
+            "decoder_fwd": round(dt * 1e3, 3),
+        }
+
+    if args.out:
+        import json
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+    return report
 
 
 if __name__ == "__main__":
