@@ -11,6 +11,10 @@ reach interactively.
 
 Usage: python scripts/demo_synthetic.py [--segments 800] [--epochs 10]
        [--device tpu]
+--corpus rich uses the multi-archetype generator (scripts/synth_corpus.py,
+--classes syllable types); --publication applies the Morita-et-al. 2021
+config from the reference README (K=128, f=256, hidden 256,
+speaker_embed 256, batch 512; README.md:63-78).
 Writes DEMO.json at the repo root.
 """
 
@@ -85,27 +89,55 @@ def main():
     ap.add_argument("--learning_rate", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=1111)
     ap.add_argument("--prior_concentration", type=float, default=1.0)
+    ap.add_argument("--corpus", choices=("twoclass", "rich"),
+                    default="twoclass",
+                    help="'rich' = multi-archetype corpus "
+                         "(scripts/synth_corpus.py) with --classes types")
+    ap.add_argument("--classes", type=int, default=12)
+    ap.add_argument("--corpus_seed", type=int, default=0)
+    ap.add_argument("--greedy_decoder", action="store_true",
+                    help="no decoder self-feedback — the reference's "
+                         "working anti-collapse option (learning.py:380)")
+    ap.add_argument("--publication", action="store_true",
+                    help="Morita et al. 2021 config (reference "
+                         "README.md:63-78): K=128 f=256 hidden=256 "
+                         "speaker_embed=256 batch=512 epochs=20 pretrain=5")
     args = ap.parse_args()
+    if args.publication:
+        args.K, args.hidden, args.batch_size = 128, 256, 512
+        args.epochs = max(args.epochs, 20)
+        args.pretrain_epochs = max(args.pretrain_epochs, 5)
 
     work = tempfile.mkdtemp(prefix="demo-")
-    ann, df = synth_corpus(args.segments, work)
+    if args.corpus == "rich":
+        from synth_corpus import synth_corpus as rich_corpus
+        ann, df = rich_corpus(work, args.segments,
+                              num_classes=args.classes,
+                              seed=args.corpus_seed,
+                              dur_range=(0.10, 0.30), valid_every=10)
+    else:
+        ann, df = synth_corpus(args.segments, work)
 
     from seq2seq_abcd_vae_tpu.cli.encode_main import main as encode_main
     from seq2seq_abcd_vae_tpu.cli.learning_main import main as learn_main
 
+    feat_dim = "256" if args.publication else "32"
+    spk_dim = "256" if args.publication else "16"
     argv = [
         work, ann, "-S", work, "-j", "demo", "-e", str(args.epochs),
         "--pretrain_epochs", str(args.pretrain_epochs), "-b",
-        str(args.batch_size), "-K", str(args.K), "-f", "32",
+        str(args.batch_size), "-K", str(args.K), "-f", feat_dim,
         "--encoder_rnn_hidden_size", str(args.hidden),
         "--decoder_rnn_hidden_size", str(args.hidden),
         "--mlp_hidden_size", str(args.hidden), "-N", "11.0",
         "-l", str(args.learning_rate), "-s", str(args.seed),
         "--prior_concentration", str(args.prior_concentration),
-        "--speaker_embed_dim", "16", "-d", args.device,
+        "--speaker_embed_dim", spk_dim, "-d", args.device,
         "--matmul_precision", "default", "--length_sorted_batches"]
     if args.bidirectional_decoder:
         argv.append("--bidirectional_decoder")
+    if args.greedy_decoder:
+        argv.append("--greedy_decoder")
     t0 = time.time()
     learn_main("abcd", argv)
     train_wall = time.time() - t0
@@ -123,8 +155,14 @@ def main():
     ari = adjusted_rand_index(truth, assign)
     clusters = {int(c): int(n) for c, n
                 in zip(*np.unique(assign, return_counts=True))}
+    config_tag = ("publication" if args.publication else
+                  "%s-K%d-h%d" % (args.corpus, args.K, args.hidden))
     payload = {
-        "seed": args.seed,
+        "seed": args.seed, "config": config_tag,
+        "corpus": args.corpus, "classes":
+            args.classes if args.corpus == "rich" else 2,
+        "K": args.K,
+        "greedy_decoder": args.greedy_decoder,
         "segments": args.segments, "epochs": args.epochs,
         "train_wall_s": round(train_wall, 1),
         "segments_per_sec_train": round(
@@ -138,7 +176,9 @@ def main():
     if os.path.isfile(demo_path):
         prev = json.load(open(demo_path))
         existing = prev if isinstance(prev, list) else [prev]
-    existing = [e for e in existing if e.get("seed") != args.seed] + [payload]
+    existing = [e for e in existing
+                if (e.get("seed"), e.get("config")) !=
+                   (args.seed, config_tag)] + [payload]
     with open(demo_path, "w") as f:
         json.dump(existing, f, indent=1)
     print(json.dumps(payload))

@@ -62,7 +62,7 @@ def make_workload(args, out_dir):
         from synth_corpus import synth_corpus
         ann, df = synth_corpus(out_dir, args.segments,
                                num_classes=args.classes,
-                               seed=args.corpus_seed)
+                               seed=args.corpus_seed, jitter=args.jitter)
         return out_dir, ann, df["label"].to_dict()
     src = os.path.join(REFERENCE, "toy_data")
     csv = [f for f in os.listdir(src) if f.endswith(".csv")][0]
@@ -132,6 +132,12 @@ def run_reference(wav_root, ann, args, work):
 
 
 def run_ours(wav_root, ann, args, work):
+    if args.device == "cpu":
+        # Pin the platform before any backend initializes: a cpu-device
+        # parity run must not grab (and exclusively hold) the tunneled
+        # TPU, which would block concurrent bench/demo processes.
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from seq2seq_abcd_vae_tpu.cli.learning_main import main as learn_main
     from seq2seq_abcd_vae_tpu.cli.encode_main import main as encode_main
     save_root = os.path.join(work, "ours")
@@ -174,6 +180,11 @@ def parse_history(path):
             r"mean validation total loss \(per string\): *(-?[\d.]+)"),
         "lr": grab(r"current learning rate: ([\d.e+-]+)"),
         "train_kl": grab(r"mean training KL \(per string\): *(-?[\d.]+)"),
+        # posterior sharpness: perplexity of the clustering probs at the
+        # last logged minibatch (K = uniform/undecided, 1 = hard commit)
+        "posterior_perplexity": grab(
+            r"Perplexity of the posterior clustering probs\.: "
+            r"(\d+(?:\.\d+)?)")[-3:],
     }
 
 
@@ -198,6 +209,9 @@ def main():
                          "(scripts/synth_corpus.py); 'toy' = replicated "
                          "reference toy_data segments")
     ap.add_argument("--classes", type=int, default=3)
+    ap.add_argument("--jitter", type=float, default=1.0,
+                    help="within-class acoustic variation scale for the "
+                         "synthetic corpus (0 = per-class templates)")
     ap.add_argument("--corpus_seed", type=int, default=0,
                     help="corpus generation seed (fixed across run seeds "
                          "so every seed trains on the identical corpus)")

@@ -22,25 +22,33 @@ import scipy.io.wavfile as spw
 FS = 16000
 
 
-def _archetype(kind, params, t, dur, rng):
-    """Render one segment of duration dur (seconds) at sample times t."""
+def _archetype(kind, params, t, dur, rng, jitter=1.0):
+    """Render one segment of duration dur (seconds) at sample times t.
+
+    jitter in [0, 1] scales all per-segment random variation (frequency,
+    AM-rate); at 0 every segment of a class is the same template (apart
+    from additive noise and duration), which makes the clustering easy
+    enough to be seed-stable — the regime the parity corpus needs.
+    """
+    fj = lambda lo, hi: rng.uniform(1.0 + (lo - 1.0) * jitter,
+                                    1.0 + (hi - 1.0) * jitter)
     if kind == "tone":  # harmonic stack, jittered fundamental
-        f0 = params["f0"] * rng.uniform(0.92, 1.08)
+        f0 = params["f0"] * fj(0.92, 1.08)
         seg = sum(np.sin(2 * np.pi * f0 * (k + 1) * t) / (k + 1)
                   for k in range(params.get("harmonics", 3)))
     elif kind == "chirp":  # linear sweep f0 -> f1
-        f0 = params["f0"] * rng.uniform(0.92, 1.08)
-        f1 = params["f1"] * rng.uniform(0.92, 1.08)
+        f0 = params["f0"] * fj(0.92, 1.08)
+        f1 = params["f1"] * fj(0.92, 1.08)
         seg = np.sin(2 * np.pi * (f0 * t + (f1 - f0) * t * t / (2 * dur)))
     elif kind == "noise":  # band-limited noise via ring modulation
-        carrier = np.sin(2 * np.pi * params["fc"] * rng.uniform(0.95, 1.05) * t)
+        carrier = np.sin(2 * np.pi * params["fc"] * fj(0.95, 1.05) * t)
         lp = rng.normal(size=t.shape)
         width = max(1, int(FS / params.get("bw", 1000.0)))
         kernel = np.ones(width) / width
         seg = np.convolve(lp, kernel, mode="same") * carrier * 3.0
     elif kind == "trill":  # AM-modulated tone
-        f0 = params["f0"] * rng.uniform(0.92, 1.08)
-        rate = params["rate"] * rng.uniform(0.85, 1.15)
+        f0 = params["f0"] * fj(0.92, 1.08)
+        rate = params["rate"] * fj(0.85, 1.15)
         seg = np.sin(2 * np.pi * f0 * t) * (0.55 + 0.45 * np.sin(
             2 * np.pi * rate * t))
     else:
@@ -80,7 +88,7 @@ def class_bank(num_classes, rng):
 def synth_corpus(out_dir, num_segments, num_classes=3, seed=0,
                  dur_range=(0.10, 0.20), num_speakers=2, valid_every=8,
                  wav_name="syllables.wav", snr_noise=0.02,
-                 class_durations=True):
+                 class_durations=True, jitter=1.0):
     """Generate the corpus; returns (annotation_csv_path, DataFrame).
 
     Segments cycle through classes (balanced); every `valid_every`-th
@@ -103,14 +111,15 @@ def synth_corpus(out_dir, num_segments, num_classes=3, seed=0,
         if class_durations:
             center = lo + (hi - lo) * (cls + 0.5) / num_classes
             half = 0.35 * (hi - lo) / num_classes
+            half = half * max(jitter, 0.15)  # keep durations non-constant
             dur = float(rng.uniform(center - half, center + half))
         else:
             dur = float(rng.uniform(lo, hi))
         n = int(dur * FS)
         t = np.arange(n) / FS
-        seg = _archetype(kind, params, t, dur, rng)
+        seg = _archetype(kind, params, t, dur, rng, jitter=jitter)
         env = np.clip(np.minimum(t / 0.015, (dur - t) / 0.015), 0.0, 1.0)
-        amp = 6000.0 * rng.uniform(0.7, 1.0)
+        amp = 6000.0 * rng.uniform(1.0 - 0.3 * jitter, 1.0)
         seg = seg / (np.abs(seg).max() + 1e-9) * amp * env
         seg = seg + rng.normal(size=n) * amp * snr_noise
         samples.append(np.clip(seg, -32767, 32767).astype(np.int16))
