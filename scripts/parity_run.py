@@ -57,12 +57,22 @@ def adjusted_rand_index(a, b):
 
 def make_workload(args, out_dir):
     """Returns (wav_root, annotation_csv, truth_labels_by_index|None)."""
+    if args.corpus == "demo2":
+        # the two-class chirp-vs-noise corpus from scripts/demo_synthetic.py
+        # — the one workload on which non-collapsed clustering of fully
+        # distinct segments has been observed (DEMO.json ARI 0.958)
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        from demo_synthetic import synth_corpus as demo_corpus
+        ann, df = demo_corpus(args.segments, out_dir, seed=args.corpus_seed)
+        return out_dir, ann, df["label"].to_dict()
     if args.corpus == "synthetic":
         sys.path.insert(0, os.path.join(REPO, "scripts"))
         from synth_corpus import synth_corpus
         ann, df = synth_corpus(out_dir, args.segments,
                                num_classes=args.classes,
-                               seed=args.corpus_seed, jitter=args.jitter)
+                               seed=args.corpus_seed, jitter=args.jitter,
+                               dur_range=tuple(args.dur_range),
+                               unique_per_class=args.unique_per_class)
         return out_dir, ann, df["label"].to_dict()
     src = os.path.join(REFERENCE, "toy_data")
     csv = [f for f in os.listdir(src) if f.endswith(".csv")][0]
@@ -97,7 +107,8 @@ def run_reference(wav_root, ann, args, work):
         bidirectional_decoder=args.bidirectional_decoder,
         decoder_self_feedback=not args.greedy_decoder,
         prior_concentration=args.prior_concentration,
-        num_speakers=parser.get_num_speakers(), speaker_embed_dim=None)
+        num_speakers=parser.get_num_speakers(),
+        speaker_embed_dim=args.speaker_embed_dim)
     trans = data_utils.Compose([
         data_utils.ToTensor(), data_utils.STFT(frame, step),
         data_utils.Transform(lambda x: (x + 2 ** -15).log() / 11.0)])
@@ -151,6 +162,8 @@ def run_ours(wav_root, ann, args, work):
         "--mlp_hidden_size", str(args.hidden), "-N", "11.0", "-d",
         args.device, "-s", str(args.seed), "-p", str(args.patience),
         "--prior_concentration", str(args.prior_concentration)]
+    if args.speaker_embed_dim:
+        argv += ["--speaker_embed_dim", str(args.speaker_embed_dim)]
     if args.bidirectional_decoder:
         argv.append("--bidirectional_decoder")
     if args.greedy_decoder:
@@ -204,14 +217,26 @@ def main():
     ap.add_argument("--feature_dim", type=int, default=16)
     ap.add_argument("--device", type=str, default="cpu")
     ap.add_argument("--seed", type=int, default=1111)
-    ap.add_argument("--corpus", choices=("toy", "synthetic"), default="toy",
+    ap.add_argument("--corpus", choices=("toy", "synthetic", "demo2"),
+                    default="toy",
                     help="'synthetic' = seed-stable multi-class corpus "
                          "(scripts/synth_corpus.py); 'toy' = replicated "
                          "reference toy_data segments")
     ap.add_argument("--classes", type=int, default=3)
+    ap.add_argument("--dur_range", type=float, nargs=2,
+                    default=(0.10, 0.20),
+                    help="segment duration range (s); longer segments "
+                         "mean more frames per string, which raises the "
+                         "emission/KL ratio and with it the pressure to "
+                         "use the latent categories")
     ap.add_argument("--jitter", type=float, default=1.0,
                     help="within-class acoustic variation scale for the "
                          "synthetic corpus (0 = per-class templates)")
+    ap.add_argument("--unique_per_class", type=int, default=None,
+                    help="render only this many distinct segments per "
+                         "class; remaining rows re-reference them "
+                         "byte-identically (the toy-corpus regime where "
+                         "the ABCD head actually commits to clusters)")
     ap.add_argument("--corpus_seed", type=int, default=0,
                     help="corpus generation seed (fixed across run seeds "
                          "so every seed trains on the identical corpus)")
@@ -226,6 +251,9 @@ def main():
                          "reference's working anti-collapse option; use "
                          "for seed-stable parity corpora")
     ap.add_argument("--patience", type=int, default=0)
+    ap.add_argument("--speaker_embed_dim", type=int, default=None,
+                    help="speaker embedding fed to the decoder (both "
+                         "frameworks); None disables it")
     ap.add_argument("--prior_concentration", type=float, default=1.0)
     ap.add_argument("--skip_reference", action="store_true")
     ap.add_argument("--skip_ours", action="store_true")

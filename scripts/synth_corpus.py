@@ -88,7 +88,7 @@ def class_bank(num_classes, rng):
 def synth_corpus(out_dir, num_segments, num_classes=3, seed=0,
                  dur_range=(0.10, 0.20), num_speakers=2, valid_every=8,
                  wav_name="syllables.wav", snr_noise=0.02,
-                 class_durations=True, jitter=1.0):
+                 class_durations=True, jitter=1.0, unique_per_class=None):
     """Generate the corpus; returns (annotation_csv_path, DataFrame).
 
     Segments cycle through classes (balanced); every `valid_every`-th
@@ -99,14 +99,32 @@ def synth_corpus(out_dir, num_segments, num_classes=3, seed=0,
     class_durations=True gives each class its own (jittered) duration
     band inside dur_range — syllable length is a real acoustic cue in
     birdsong and feeds the models' offset-prediction loss.
+
+    unique_per_class=n renders only n distinct segments per class and
+    makes the remaining annotation rows re-reference those wav regions
+    (byte-identical repeats, like the reference's toy corpus where each
+    unique segment appears many times).  The ABCD head of this model
+    family — in BOTH implementations — only commits to clusters when
+    per-class variation is near zero; this is the corpus regime where
+    cluster-assignment parity is measurable.
     """
     rng = np.random.default_rng(seed)
     bank = class_bank(num_classes, rng)
     lo, hi = dur_range
     rows, samples = [], []
     cursor = 0.05
+    n_unique = (min(unique_per_class * num_classes, num_segments)
+                if unique_per_class else num_segments)
+    regions = []  # (onset, dur) of each rendered unique segment
     for i in range(num_segments):
         cls = i % num_classes
+        if i >= n_unique:  # re-reference an already-rendered region
+            onset, offset = regions[i % n_unique]
+            rows.append((onset, offset, wav_name,
+                         "valid" if i % valid_every == valid_every - 1
+                         else "train",
+                         "s%d" % (i % num_speakers), "c%02d" % cls))
+            continue
         kind, params = bank[cls]
         if class_durations:
             center = lo + (hi - lo) * (cls + 0.5) / num_classes
@@ -123,6 +141,7 @@ def synth_corpus(out_dir, num_segments, num_classes=3, seed=0,
         seg = seg / (np.abs(seg).max() + 1e-9) * amp * env
         seg = seg + rng.normal(size=n) * amp * snr_noise
         samples.append(np.clip(seg, -32767, 32767).astype(np.int16))
+        regions.append((round(cursor, 4), round(cursor + dur, 4)))
         rows.append((round(cursor, 4), round(cursor + dur, 4), wav_name,
                      "valid" if i % valid_every == valid_every - 1
                      else "train",
