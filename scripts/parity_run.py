@@ -122,7 +122,8 @@ def run_reference(wav_root, ann, args, work):
     learner.learn(datasets["train"], datasets["valid"], args.epochs,
                   args.batch_size, args.batch_size,
                   pretrain_epochs=args.pretrain_epochs, learning_rate=1.0,
-                  momentum=0.0, gradient_clip=1.0, patience=args.patience)
+                  momentum=args.momentum, gradient_clip=1.0,
+                  patience=args.patience)
     wall = time.time() - t0
 
     # final assignments on the full annotation
@@ -156,6 +157,7 @@ def run_ours(wav_root, ann, args, work):
     argv = [
         wav_root, ann, "-S", save_root, "-j", "run", "-e", str(args.epochs),
         "--pretrain_epochs", str(args.pretrain_epochs),
+        "-M", str(args.momentum),
         "-b", str(args.batch_size), "-K", str(args.K), "-f",
         str(args.feature_dim), "--encoder_rnn_hidden_size",
         str(args.hidden), "--decoder_rnn_hidden_size", str(args.hidden),
@@ -251,6 +253,8 @@ def main():
                          "reference's working anti-collapse option; use "
                          "for seed-stable parity corpora")
     ap.add_argument("--patience", type=int, default=0)
+    ap.add_argument("--momentum", type=float, default=0.0,
+                    help="SGD momentum (-M in both CLIs)")
     ap.add_argument("--speaker_embed_dim", type=int, default=None,
                     help="speaker embedding fed to the decoder (both "
                          "frameworks); None disables it")
