@@ -38,13 +38,14 @@ from parity_run import adjusted_rand_index
 FS = 16000
 
 
-def synth_corpus(num_segments: int, out_dir: str, seed: int = 0):
+def synth_corpus(num_segments: int, out_dir: str, seed: int = 0,
+                 dur_range=(0.15, 0.35)):
     rng = np.random.default_rng(seed)
     rows = []
     cursor = 0.05
     samples = []
     for i in range(num_segments):
-        dur = float(rng.uniform(0.15, 0.35))
+        dur = float(rng.uniform(*dur_range))
         n = int(dur * FS)
         t = np.arange(n) / FS
         kind = i % 2

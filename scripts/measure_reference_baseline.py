@@ -45,6 +45,22 @@ def patch_torch():
 
     torch.Tensor.stft = stft_realview
 
+    # torch>=2 clip_grad_norm_'s foreach path can't take SparseCPU grads
+    # (the reference's sparse speaker embedding, model.py:118, hits this
+    # at learning.py:161); densify first — numerically identical under
+    # plain SGD.
+    orig_clip = torch.nn.utils.clip_grad_norm_
+
+    def clip_densify(parameters, *a, **k):
+        params = ([parameters] if isinstance(parameters, torch.Tensor)
+                  else list(parameters))
+        for p in params:
+            if p.grad is not None and p.grad.is_sparse:
+                p.grad = p.grad.to_dense()
+        return orig_clip(params, *a, **k)
+
+    torch.nn.utils.clip_grad_norm_ = clip_densify
+
 
 def replicated_annotation(num_segments: int, out_dir: str) -> str:
     """Tile the toy annotation up to num_segments rows (all 'train' plus
@@ -172,12 +188,6 @@ def _train_one(learner, batch) -> int:
         ground_truth_out=packed_input.data, ground_truth_offset=is_offset.data)
     loss = (em + off + kl) / packed_input.batch_sizes[0]
     loss.backward()
-    # torch>=2 clip_grad_norm_ foreach path can't take SparseCPU grads
-    # (the reference's sparse speaker embedding, model.py:118); densify —
-    # numerically identical.
-    for p in learner.parameters():
-        if p.grad is not None and p.grad.is_sparse:
-            p.grad = p.grad.to_dense()
     torch.nn.utils.clip_grad_norm_(learner.parameters(),
                                    learner.gradient_clip)
     learner.optimizer.step()

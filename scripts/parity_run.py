@@ -63,15 +63,20 @@ def make_workload(args, out_dir):
         # distinct segments has been observed (DEMO.json ARI 0.958)
         sys.path.insert(0, os.path.join(REPO, "scripts"))
         from demo_synthetic import synth_corpus as demo_corpus
-        ann, df = demo_corpus(args.segments, out_dir, seed=args.corpus_seed)
+        dur = ((0.15, 0.35) if args.dur_range is None
+               else tuple(args.dur_range))
+        ann, df = demo_corpus(args.segments, out_dir, seed=args.corpus_seed,
+                              dur_range=dur)
         return out_dir, ann, df["label"].to_dict()
     if args.corpus == "synthetic":
         sys.path.insert(0, os.path.join(REPO, "scripts"))
         from synth_corpus import synth_corpus
+        dur = ((0.10, 0.20) if args.dur_range is None
+               else tuple(args.dur_range))
         ann, df = synth_corpus(out_dir, args.segments,
                                num_classes=args.classes,
                                seed=args.corpus_seed, jitter=args.jitter,
-                               dur_range=tuple(args.dur_range),
+                               dur_range=dur,
                                unique_per_class=args.unique_per_class)
         return out_dir, ann, df["label"].to_dict()
     src = os.path.join(REFERENCE, "toy_data")
@@ -163,7 +168,10 @@ def run_ours(wav_root, ann, args, work):
         str(args.hidden), "--decoder_rnn_hidden_size", str(args.hidden),
         "--mlp_hidden_size", str(args.hidden), "-N", "11.0", "-d",
         args.device, "-s", str(args.seed), "-p", str(args.patience),
+        "--matmul_precision", args.matmul_precision,
         "--prior_concentration", str(args.prior_concentration)]
+    if args.length_sorted_batches:
+        argv.append("--length_sorted_batches")
     if args.speaker_embed_dim:
         argv += ["--speaker_embed_dim", str(args.speaker_embed_dim)]
     if args.bidirectional_decoder:
@@ -226,8 +234,10 @@ def main():
                          "reference toy_data segments")
     ap.add_argument("--classes", type=int, default=3)
     ap.add_argument("--dur_range", type=float, nargs=2,
-                    default=(0.10, 0.20),
-                    help="segment duration range (s); longer segments "
+                    default=None,
+                    help="segment duration range (s); default = the "
+                         "corpus's own default (synthetic 0.10-0.20, "
+                         "demo2 0.15-0.35); longer segments "
                          "mean more frames per string, which raises the "
                          "emission/KL ratio and with it the pressure to "
                          "use the latent categories")
@@ -255,6 +265,14 @@ def main():
     ap.add_argument("--patience", type=int, default=0)
     ap.add_argument("--momentum", type=float, default=0.0,
                     help="SGD momentum (-M in both CLIs)")
+    ap.add_argument("--matmul_precision", default="highest",
+                    help="ours-side matmul precision; 'default' (bf16) is "
+                         "the production setting and the one the seed-3 "
+                         "demo2 clustering success used")
+    ap.add_argument("--length_sorted_batches", action="store_true",
+                    help="ours-side data-ordering policy (no reference "
+                         "analogue); trajectory knob only — cross-ARI is "
+                         "label-permutation-invariant")
     ap.add_argument("--speaker_embed_dim", type=int, default=None,
                     help="speaker embedding fed to the decoder (both "
                          "frameworks); None disables it")
