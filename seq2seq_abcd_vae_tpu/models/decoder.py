@@ -133,15 +133,19 @@ def _fused_recurrent_weight(cfg: DecoderConfig, cell_params: dict,
 
 
 def _gate_activations(cfg: DecoderConfig, cell_params: dict,
-                      x: jax.Array, hp: jax.Array, h: jax.Array,
+                      x: jax.Array | None, hp: jax.Array, h: jax.Array,
                       c: jax.Array):
     """Cell nonlinearity given the precomputed recurrent projection hp
-    (= h @ w_hh, bias NOT yet added).  x is the (gated) feedback input."""
+    (= h @ w_hh, bias NOT yet added).  x is the (gated) feedback input;
+    None means exactly-zero input (greedy training), skipping the x@w_ih
+    matmul."""
     if cfg.rnn_type == "ESN":  # no biases (model.py:488)
+        inp = 0.0 if x is None else x @ cell_params["w_ih"]
         h2 = ((1.0 - cfg.esn_leak) * h
-              + cfg.esn_leak * jnp.tanh(x @ cell_params["w_ih"] + hp))
+              + cfg.esn_leak * jnp.tanh(inp + hp))
         return h2, c
-    xp = x @ cell_params["w_ih"] + cell_params["b_ih"]
+    xp = (cell_params["b_ih"] if x is None
+          else x @ cell_params["w_ih"] + cell_params["b_ih"])
     hp = hp + cell_params["b_hh"]
     if cfg.rnn_type == "LSTM":
         i, f, g, o = jnp.split(xp + hp, 4, axis=-1)
@@ -205,6 +209,30 @@ def _run_direction(cfg: DecoderConfig, cell_params: dict,
     noise_prev_t = jnp.concatenate(
         [jnp.zeros_like(noise_t[:1]), noise_t[:-1]], axis=0)
     drop_t = _drop_mask(cfg, k_drop, (t, b, f), h0.dtype, deterministic)
+
+    if not deterministic and cfg.input_dropout >= 1.0:
+        # --greedy_decoder training: the feedback input is exactly zero
+        # at every step, so the in-scan emission pipeline is dead code —
+        # the body reduces to ONE small sequential matmul (h @ w_hh).
+        # Emission params/samples still come from the post-scan batched
+        # recompute below, with the identical presampled noise.
+        def greedy_step(carry, mt):
+            h, c = carry
+            hp = h @ cell_params["w_hh"]
+            h2, c2 = _gate_activations(cfg, cell_params, None, hp, h, c)
+            h = jnp.where(mt, h2, h)
+            c = jnp.where(mt, c2, c)
+            return (h, c), h2
+
+        _, rnn_out = jax.lax.scan(greedy_step, (h0, c0), mask_t,
+                                  unroll=rnn_mod.SCAN_UNROLL)
+        rnn_out = jnp.swapaxes(rnn_out, 0, 1)
+        em_params = sampler_mod.sampler_apply(emission_params, rnn_out)
+        if emission_mode == "mean":
+            out = em_params[0]
+        else:
+            out = d.from_noise(jnp.swapaxes(noise_t, 0, 1), *em_params)
+        return rnn_out, em_params, out
 
     w_cat, gate_w, k, m = _fused_recurrent_weight(cfg, cell_params,
                                                   emission_params)
@@ -281,6 +309,52 @@ def _run_both_directions(cfg: DecoderConfig, params: dict,
     noise_prev_t = jnp.concatenate(
         [jnp.zeros_like(noise_t[:1]), noise_t[:-1]], axis=0)
     drop_t = _drop_mask(cfg, k_drop, (t, 2, b, f), h0.dtype, deterministic)
+
+    if not deterministic and cfg.input_dropout >= 1.0:
+        # --greedy_decoder training (see _run_direction): zero input at
+        # every step for both directions — one stacked matmul per step.
+        def greedy_step(carry, mt):
+            h, c = carry
+            hp = jnp.einsum("dbh,dhg->dbg", h, cell["w_hh"])
+            hpb = hp + cell["b_hh"][:, None, :]
+            if cfg.rnn_type == "LSTM":
+                xpb = cell["b_ih"][:, None, :]
+                i, fg, g, o = jnp.split(xpb + hpb, 4, axis=-1)
+                c2 = (jax.nn.sigmoid(fg) * c
+                      + jax.nn.sigmoid(i) * jnp.tanh(g))
+                h2 = jax.nn.sigmoid(o) * jnp.tanh(c2)
+            elif cfg.rnn_type == "GRU":
+                xr, xz, xn = jnp.split(cell["b_ih"][:, None, :], 3, -1)
+                hr, hz, hn = jnp.split(hpb, 3, axis=-1)
+                r = jax.nn.sigmoid(xr + hr)
+                z = jax.nn.sigmoid(xz + hz)
+                h2, c2 = (1.0 - z) * jnp.tanh(xn + r * hn) + z * h, c
+            else:
+                h2, c2 = jnp.tanh(cell["b_ih"][:, None, :] + hpb), c
+            h = jnp.where(mt, h2, h)
+            c = jnp.where(mt, c2, c)
+            return (h, c), h2
+
+        _, rnn_out = jax.lax.scan(greedy_step,
+                                  (jnp.stack([h0, h0r]),
+                                   jnp.stack([c0, c0r])), mask_t,
+                                  unroll=rnn_mod.SCAN_UNROLL)
+
+        def split_dirs(x):
+            return (jnp.swapaxes(x[:, 0], 0, 1),
+                    jnp.swapaxes(jnp.flip(x[:, 1], 0), 0, 1))
+
+        rnn_f, rnn_r = split_dirs(rnn_out)
+        noise_fwd, noise_rev = split_dirs(noise_t)
+        em_f = sampler_mod.sampler_apply(params["emission_sampler"], rnn_f)
+        em_r = sampler_mod.sampler_apply(
+            params["emission_sampler_reverse"], rnn_r)
+        if emission_mode == "mean":
+            out_f, out_r = em_f[0], em_r[0]
+        else:
+            out_f = d.from_noise(noise_fwd, *em_f)
+            out_r = d.from_noise(noise_rev, *em_r)
+        return (rnn_f, em_f, out_f), (rnn_r, em_r, out_r)
 
     # fused per-direction recurrent weight (2, H, G + k*m)
     w1 = emission["lin1"]["w"]                       # (2, k, H, m)

@@ -107,6 +107,43 @@ def test_greedy_decoder_zeroes_feedback(rng):
                                np.asarray(b.offset_weights), rtol=1e-5)
 
 
+def test_greedy_decoder_bidirectional(rng):
+    """Bidirectional greedy training uses the stacked zero-input fast
+    path; hidden trajectories must be sampling-key-independent in both
+    directions and match the eval-mode cell driven with zero inputs."""
+    for rnn_type in ("LSTM", "GRU", "RNN"):
+        cfg, params = make(rnn_type, self_feedback=False,
+                           bidirectional=True, right2left_weight=0.3)
+        feats = rng.normal(size=(2, 5)).astype(np.float32)
+        lengths = np.asarray([6, 4], np.int32)
+        a = run(cfg, params, feats, lengths, 6, deterministic=False, key=1,
+                emission_mode="sample")
+        b = run(cfg, params, feats, lengths, 6, deterministic=False, key=2,
+                emission_mode="sample")
+        for fld in ("offset_weights", "offset_weights_reverse"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(a, fld)), np.asarray(getattr(b, fld)),
+                rtol=1e-5, err_msg=f"{rnn_type} {fld}")
+        # Hidden trajectories must equal the per-direction greedy scans
+        # (the ESN code path) run with the same initial states.
+        feats_j = jnp.asarray(feats)
+        hidden = feats_j @ params["feature2hidden"]["w"] \
+            + params["feature2hidden"]["b"]
+        both = hidden.reshape(2, -1, 2)
+        h0f, c0f = dec._split_hidden(cfg, both[..., 0])
+        h0r, c0r = dec._split_hidden(cfg, both[..., 1])
+        mask = jnp.arange(6)[None, :] < jnp.asarray(lengths)[:, None]
+        key = jax.random.fold_in(jax.random.PRNGKey(1), 0)
+        rnn_f, _, _ = dec._run_direction(
+            cfg, params["rnn_cell"], params["emission_sampler"], h0f, c0f,
+            mask, key, False, "sample")
+        out_f = dec.mlp_mod.mlp_apply(params["offset_predictor"],
+                                      rnn_f).squeeze(-1)
+        np.testing.assert_allclose(np.asarray(a.offset_weights),
+                                   np.asarray(out_f), rtol=1e-5,
+                                   err_msg=rnn_type)
+
+
 def test_speaker_embedding_changes_output(rng):
     cfg, params = make(num_speakers=3, speaker_embed_dim=4)
     feats = rng.normal(size=(2, 5)).astype(np.float32)
