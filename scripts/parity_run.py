@@ -68,6 +68,16 @@ def make_workload(args, out_dir):
         ann, df = demo_corpus(args.segments, out_dir, seed=args.corpus_seed,
                               dur_range=dur)
         return out_dir, ann, df["label"].to_dict()
+    if args.corpus == "toyaug":
+        # hundreds of DISTINCT augmented variants of the real toy
+        # syllables (the one acoustic regime where the ABCD head
+        # demonstrably commits in both frameworks) — see
+        # scripts/toyaug_corpus.py
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        from toyaug_corpus import toyaug_corpus
+        ann, df = toyaug_corpus(out_dir, args.segments,
+                                seed=args.corpus_seed)
+        return out_dir, ann, df["label"].to_dict()
     if args.corpus == "synthetic":
         sys.path.insert(0, os.path.join(REPO, "scripts"))
         from synth_corpus import synth_corpus
@@ -227,7 +237,8 @@ def main():
     ap.add_argument("--feature_dim", type=int, default=16)
     ap.add_argument("--device", type=str, default="cpu")
     ap.add_argument("--seed", type=int, default=1111)
-    ap.add_argument("--corpus", choices=("toy", "synthetic", "demo2"),
+    ap.add_argument("--corpus",
+                    choices=("toy", "synthetic", "demo2", "toyaug"),
                     default="toy",
                     help="'synthetic' = seed-stable multi-class corpus "
                          "(scripts/synth_corpus.py); 'toy' = replicated "
