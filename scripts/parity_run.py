@@ -213,11 +213,12 @@ def parse_history(path):
             r"mean validation total loss \(per string\): *(-?[\d.]+)"),
         "lr": grab(r"current learning rate: ([\d.e+-]+)"),
         "train_kl": grab(r"mean training KL \(per string\): *(-?[\d.]+)"),
-        # posterior sharpness: perplexity of the clustering probs at the
-        # last logged minibatch (K = uniform/undecided, 1 = hard commit)
+        # posterior sharpness trajectory: perplexity of the clustering
+        # probs per logged minibatch (K = uniform/undecided, 1 = hard
+        # commit)
         "posterior_perplexity": grab(
             r"Perplexity of the posterior clustering probs\.: "
-            r"(\d+(?:\.\d+)?)")[-3:],
+            r"(\d+(?:\.\d+)?)"),
     }
 
 

@@ -234,6 +234,33 @@ def _run_direction(cfg: DecoderConfig, cell_params: dict,
             out = d.from_noise(jnp.swapaxes(noise_t, 0, 1), *em_params)
         return rnn_out, em_params, out
 
+    if (cfg.rnn_type == "LSTM" and emission_mode == "sample"
+            and drop_t is None
+            and cfg.emission_distr_name == "isotropic_gaussian"
+            and rnn_mod.resolved_backend() == "pallas"):
+        # Fused Pallas kernel: the WHOLE sampling time loop as one
+        # program, weights resident in VMEM (ops/decoder_pallas.py).
+        em = emission_params["to_parameters"]
+        w1 = em["lin1"]["w"]
+        if w1.shape[0] == 2:
+            from ..ops import decoder_pallas
+            w1_flat = jnp.moveaxis(w1, 0, 1).reshape(w1.shape[1], -1)
+            w_cat2 = jnp.concatenate([cell_params["w_hh"], w1_flat],
+                                     axis=1)
+            outs = decoder_pallas.decoder_loop(
+                noise_prev_t, mask_t.astype(h0.dtype),
+                prev_mask_t.astype(h0.dtype), w_cat2,
+                cell_params["b_ih"] + cell_params["b_hh"],
+                em["lin1"]["b"].reshape(-1), em["lin2"]["w"][0],
+                em["lin2"]["w"][1], em["lin2"]["b"].reshape(-1),
+                cell_params["w_ih"], h0, c0,
+                interpret=jax.default_backend() != "tpu")
+            rnn_out = jnp.swapaxes(outs, 0, 1).astype(h0.dtype)
+            em_params = sampler_mod.sampler_apply(emission_params,
+                                                  rnn_out)
+            out = d.from_noise(jnp.swapaxes(noise_t, 0, 1), *em_params)
+            return rnn_out, em_params, out
+
     w_cat, gate_w, k, m = _fused_recurrent_weight(cfg, cell_params,
                                                   emission_params)
     b1 = emission_params["to_parameters"]["lin1"]["b"]  # (k, m)

@@ -1,0 +1,358 @@
+"""Fused Pallas TPU kernel for the autoregressive decoder loop (fwd+bwd).
+
+The decoder hot loop (reference model.py:165-196) is bound by the COUNT
+of small sequential matmuls, not FLOPs: every step computes the
+recurrent projection, the (pipelined) previous step's emission, samples
+the Gaussian feedback input, and projects it onto the gates.  The scan
+path (models/decoder.py:_run_direction) already fuses the emission first
+layer into the recurrent matmul; this kernel goes further and runs the
+WHOLE time loop as one Pallas program:
+
+- grid = (T,): sequential TPU grid; the (h, c) carry lives in VMEM
+  scratch, streamed inputs (presampled noise, masks) and the stacked
+  hidden-state output are double-buffered automatically;
+- every weight — fused recurrent+emission matrix, emission second layer,
+  feedback input projection, biases — is resident in VMEM for the whole
+  segment batch: one HBM read total instead of T;
+- step semantics identical to the scan path: zero first input, sampled
+  self-feedback via the same presampled noise layout, masking freezes
+  finished rows (packed "shrinking batch" parity, model.py:175-177).
+
+Scope: LSTM cell, isotropic-Gaussian emission (k=2 parameter vectors),
+sample-mode feedback, no input dropout — the hot default configuration.
+Other configurations (GRU/RNN/ESN cells, mean feedback, dropout,
+bidirectional) use the scan path; see models/decoder.py dispatch.
+
+The backward kernel runs the adjoint in reverse grid order, recomputing
+each step's emission pipeline from the saved (h, c) trajectories, and
+accumulates all weight gradients in VMEM.  ``decoder_loop`` wires both
+into a ``jax.custom_vjp``.
+
+Parity with the scan path is tested in interpret mode
+(tests/test_decoder_pallas.py) and on hardware via
+scripts/pallas_grad_parity.py --decoder.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
+                b1_ref, w2m_ref, w2v_ref, b2_ref, wih_ref,
+                h0_ref, c0_ref,
+                out_ref, hs_ref, cs_ref,
+                h_scr, c_scr,
+                *, hidden: int, m: int):
+    """One decoder step.  Streams: noise_prev (1,B,F), mask (1,B,1),
+    prev_mask (1,B,1).  Resident: wcat (H, 4H+2m), bias (1,4H) =
+    b_ih+b_hh, b1 (1,2m), w2m/w2v (m,F), b2 (1,2F) = [b2_mean|b2_logvar],
+    wih (F,4H), h0/c0 (B,H).  Outputs per step: out = the PRE-mask h2
+    (scan-path parity: padded steps carry candidate values, losses mask
+    downstream), hs/cs = the masked carries (backward residuals)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:, :].astype(jnp.float32)
+        c_scr[:] = c0_ref[:, :].astype(jnp.float32)
+
+    h = h_scr[:]
+    c = c_scr[:]
+    big = jnp.dot(h, wcat_ref[:, :], preferred_element_type=jnp.float32)
+    hp = big[:, :4 * hidden]
+    emh = jnp.tanh(big[:, 4 * hidden:] + b1_ref[:, :])
+    f_dim = w2m_ref.shape[1]
+    mean = (jnp.dot(emh[:, :m], w2m_ref[:, :],
+                    preferred_element_type=jnp.float32)
+            + b2_ref[:, :f_dim])
+    logvar = (jnp.dot(emh[:, m:], w2v_ref[:, :],
+                      preferred_element_type=jnp.float32)
+              + b2_ref[:, f_dim:])
+    x = mean + jnp.exp(0.5 * logvar) * noise_ref[0]
+    x = x * pmask_ref[0]  # zero first input per row
+    gates = (hp + jnp.dot(x, wih_ref[:, :],
+                          preferred_element_type=jnp.float32)
+             + bias_ref[:, :])
+    i = jax.nn.sigmoid(gates[:, :hidden])
+    f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+    g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+    o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+    c2 = f * c + i * g
+    h2 = o * jnp.tanh(c2)
+    mt = mask_ref[0]
+    h = jnp.where(mt > 0, h2, h)
+    c = jnp.where(mt > 0, c2, c)
+    h_scr[:] = h
+    c_scr[:] = c
+    out_ref[0] = h2
+    hs_ref[0] = h
+    cs_ref[0] = c
+
+
+def _bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
+                b1_ref, w2m_ref, w2v_ref, b2_ref, wih_ref,
+                hprev_ref, cprev_ref, dout_ref,
+                dwcat_ref, dbias_ref, db1_ref, dw2m_ref, dw2v_ref,
+                db2_ref, dwih_ref, dh0_ref, dc0_ref,
+                dh_scr, dc_scr,
+                *, hidden: int, m: int):
+    """Reverse-order grid: program s processes step t = T-1-s,
+    recomputing the forward quantities from the saved trajectories."""
+    s = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    @pl.when(s == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+        dwcat_ref[:, :] = jnp.zeros_like(dwcat_ref)
+        dbias_ref[:, :] = jnp.zeros_like(dbias_ref)
+        db1_ref[:, :] = jnp.zeros_like(db1_ref)
+        dw2m_ref[:, :] = jnp.zeros_like(dw2m_ref)
+        dw2v_ref[:, :] = jnp.zeros_like(dw2v_ref)
+        db2_ref[:, :] = jnp.zeros_like(db2_ref)
+        dwih_ref[:, :] = jnp.zeros_like(dwih_ref)
+
+    h_prev = hprev_ref[0].astype(jnp.float32)
+    c_prev = cprev_ref[0].astype(jnp.float32)
+    mt = mask_ref[0]
+    pmt = pmask_ref[0]
+    eps = noise_ref[0]
+    f_dim = w2m_ref.shape[1]
+
+    # ---- forward recompute of this step
+    big = jnp.dot(h_prev, wcat_ref[:, :],
+                  preferred_element_type=jnp.float32)
+    hp = big[:, :4 * hidden]
+    emh = jnp.tanh(big[:, 4 * hidden:] + b1_ref[:, :])
+    mean = (jnp.dot(emh[:, :m], w2m_ref[:, :],
+                    preferred_element_type=jnp.float32)
+            + b2_ref[:, :f_dim])
+    logvar = (jnp.dot(emh[:, m:], w2v_ref[:, :],
+                      preferred_element_type=jnp.float32)
+              + b2_ref[:, f_dim:])
+    std = jnp.exp(0.5 * logvar)
+    x = (mean + std * eps) * pmt
+    gates = (hp + jnp.dot(x, wih_ref[:, :],
+                          preferred_element_type=jnp.float32)
+             + bias_ref[:, :])
+    i = jax.nn.sigmoid(gates[:, :hidden])
+    f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+    g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+    o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+    # candidate c2 is live at EVERY step (h2 is emitted pre-mask); it is
+    # recomputed with the same expression as the forward.
+    c2 = f * c_prev + i * g
+    tanh_c2 = jnp.tanh(c2)
+
+    # ---- adjoint of:  h2 = cell(h_prev, c_prev, x);
+    #                   h  = m ? h2 : h_prev;  c = m ? c2 : c_prev
+    dh_carry = dh_scr[:]
+    dc_carry = dc_scr[:]
+    dh2 = dout_ref[0] + jnp.where(mt > 0, dh_carry, 0.0)
+
+    do = dh2 * tanh_c2
+    dc2 = (jnp.where(mt > 0, dc_carry, 0.0)
+           + dh2 * o * (1.0 - tanh_c2 * tanh_c2))
+    df = dc2 * c_prev
+    di = dc2 * g
+    dg = dc2 * i
+    dz = jnp.concatenate(
+        [di * i * (1.0 - i), df * f * (1.0 - f), dg * (1.0 - g * g),
+         do * o * (1.0 - o)], axis=-1)
+
+    dx = jnp.dot(dz, wih_ref[:, :].T, preferred_element_type=jnp.float32)
+    dwih_ref[:, :] += jnp.dot(x.T, dz, preferred_element_type=jnp.float32)
+    dbias_ref[:, :] += jnp.sum(dz, axis=0, keepdims=True)
+
+    dx = dx * pmt
+    dmean = dx
+    dlogvar = dx * 0.5 * std * eps
+    db2_ref[:, :f_dim] += jnp.sum(dmean, axis=0, keepdims=True)
+    db2_ref[:, f_dim:] += jnp.sum(dlogvar, axis=0, keepdims=True)
+    demh_m = jnp.dot(dmean, w2m_ref[:, :].T,
+                     preferred_element_type=jnp.float32)
+    demh_v = jnp.dot(dlogvar, w2v_ref[:, :].T,
+                     preferred_element_type=jnp.float32)
+    dw2m_ref[:, :] += jnp.dot(emh[:, :m].T, dmean,
+                              preferred_element_type=jnp.float32)
+    dw2v_ref[:, :] += jnp.dot(emh[:, m:].T, dlogvar,
+                              preferred_element_type=jnp.float32)
+    demh = jnp.concatenate([demh_m, demh_v], axis=-1)
+    dbig_em = demh * (1.0 - emh * emh)
+    db1_ref[:, :] += jnp.sum(dbig_em, axis=0, keepdims=True)
+
+    dbig = jnp.concatenate([dz, dbig_em], axis=-1)
+    dh_prev = (jnp.where(mt > 0, 0.0, dh_carry)
+               + jnp.dot(dbig, wcat_ref[:, :].T,
+                         preferred_element_type=jnp.float32))
+    dc_prev = jnp.where(mt > 0, 0.0, dc_carry) + dc2 * f
+    dwcat_ref[:, :] += jnp.dot(h_prev.T, dbig,
+                               preferred_element_type=jnp.float32)
+    dh_scr[:] = dh_prev
+    dc_scr[:] = dc_prev
+
+    @pl.when(s == nt - 1)
+    def _():
+        dh0_ref[:, :] = dh_scr[:]
+        dc0_ref[:, :] = dc_scr[:]
+
+
+def _specs(t, b, f, hidden, m, g_all):
+    stream3 = lambda shp: pl.BlockSpec(shp, lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    res = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                   memory_space=pltpu.VMEM)
+    ins = [
+        stream3((1, b, f)),            # noise_prev
+        stream3((1, b, 1)),            # mask
+        stream3((1, b, 1)),            # prev_mask
+        res((hidden, g_all)),          # wcat
+        res((1, 4 * hidden)),          # bias (b_ih + b_hh)
+        res((1, 2 * m)),               # b1
+        res((m, f)),                   # w2 mean
+        res((m, f)),                   # w2 logvar
+        res((1, 2 * f)),               # b2
+        res((f, 4 * hidden)),          # wih
+    ]
+    return ins, stream3, res
+
+
+def _fwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
+              h0, c0, interpret):
+    t, b, f = noise.shape
+    hidden = h0.shape[1]
+    g_all = wcat.shape[1]
+    m = (g_all - 4 * hidden) // 2
+    ins, stream3, res = _specs(t, b, f, hidden, m, g_all)
+    outs, hs, cs = pl.pallas_call(
+        functools.partial(_fwd_kernel, hidden=hidden, m=m),
+        grid=(t,),
+        in_specs=ins + [res((b, hidden)), res((b, hidden))],
+        out_specs=[stream3((1, b, hidden)), stream3((1, b, hidden)),
+                   stream3((1, b, hidden))],
+        out_shape=[jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+                   jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+                   jax.ShapeDtypeStruct((t, b, hidden), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32),
+                        pltpu.VMEM((b, hidden), jnp.float32)],
+        interpret=interpret,
+    )(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih, h0, c0)
+    return outs, hs, cs
+
+
+def _bwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
+              h0, c0, hs, cs, douts, interpret):
+    t, b, f = noise.shape
+    hidden = h0.shape[1]
+    g_all = wcat.shape[1]
+    m = (g_all - 4 * hidden) // 2
+    ins, stream3, res = _specs(t, b, f, hidden, m, g_all)
+    h_prev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
+    c_prev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
+    rev3 = lambda shp: pl.BlockSpec(shp, lambda i: (t - 1 - i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    rev_ins = [
+        rev3((1, b, f)),               # noise_prev
+        rev3((1, b, 1)),               # mask
+        rev3((1, b, 1)),               # prev_mask
+    ] + ins[3:] + [
+        rev3((1, b, hidden)),          # h_prev
+        rev3((1, b, hidden)),          # c_prev
+        rev3((1, b, hidden)),          # dout
+    ]
+    out_specs = [
+        res((hidden, g_all)), res((1, 4 * hidden)), res((1, 2 * m)),
+        res((m, f)), res((m, f)), res((1, 2 * f)), res((f, 4 * hidden)),
+        res((b, hidden)), res((b, hidden)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(wcat.shape, jnp.float32),
+        jax.ShapeDtypeStruct((1, 4 * hidden), jnp.float32),
+        jax.ShapeDtypeStruct((1, 2 * m), jnp.float32),
+        jax.ShapeDtypeStruct(w2m.shape, jnp.float32),
+        jax.ShapeDtypeStruct(w2v.shape, jnp.float32),
+        jax.ShapeDtypeStruct((1, 2 * f), jnp.float32),
+        jax.ShapeDtypeStruct(wih.shape, jnp.float32),
+        jax.ShapeDtypeStruct((b, hidden), jnp.float32),
+        jax.ShapeDtypeStruct((b, hidden), jnp.float32),
+    ]
+    grads = pl.pallas_call(
+        functools.partial(_bwd_kernel, hidden=hidden, m=m),
+        grid=(t,),
+        in_specs=rev_ins,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32),
+                        pltpu.VMEM((b, hidden), jnp.float32)],
+        interpret=interpret,
+    )(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
+      h_prev, c_prev, douts)
+    return grads
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12,))
+def _decoder_loop_cvjp(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2,
+                       wih, h0, c0, interpret):
+    outs, hs, cs = _fwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v,
+                             b2, wih, h0, c0, interpret)
+    return outs
+
+
+def _decoder_loop_fwd(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2,
+                      wih, h0, c0, interpret):
+    outs, hs, cs = _fwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v,
+                             b2, wih, h0, c0, interpret)
+    return outs, (noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
+                  h0, c0, hs, cs)
+
+
+def _decoder_loop_bwd(interpret, residuals, douts):
+    (noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih, h0, c0, hs,
+     cs) = residuals
+    (dwcat, dbias, db1, dw2m, dw2v, db2, dwih, dh0,
+     dc0) = _bwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2,
+                      wih, h0, c0, hs, cs, douts, interpret)
+    return (jnp.zeros_like(noise), jnp.zeros_like(mask),
+            jnp.zeros_like(pmask), dwcat, dbias.reshape(-1),
+            db1.reshape(-1), dw2m, dw2v, db2.reshape(-1), dwih, dh0, dc0)
+
+
+_decoder_loop_cvjp.defvjp(_decoder_loop_fwd, _decoder_loop_bwd)
+
+
+def decoder_loop(noise_prev, mask, prev_mask, w_cat, bias, b1_flat,
+                 w2_mean, w2_logvar, b2_flat, w_ih, h0, c0,
+                 interpret: bool = False):
+    """Run the full autoregressive decoder time loop in one kernel.
+
+    Args:
+      noise_prev: (T, B, F) presampled standard normals, already shifted
+        so step t consumes the noise that sampled position t-1's emission
+        (models/decoder.py noise_prev_t layout).
+      mask: (T, B, 1) float validity of each step.
+      prev_mask: (T, B, 1) float validity of the previous step (gates the
+        feedback input; zero on each row's first active step).
+      w_cat: (H, 4H + 2m) fused [recurrent | emission-lin1] weight.
+      bias: (4H,) = b_ih + b_hh.
+      b1_flat: (2m,) emission lin1 bias, [mean-branch | logvar-branch].
+      w2_mean / w2_logvar: (m, F) emission lin2 weights.
+      b2_flat: (2F,) = [b2_mean | b2_logvar].
+      w_ih: (F, 4H) feedback input projection.
+      h0, c0: (B, H) initial state.
+
+    Returns outs (T, B, H): the PRE-mask candidate hidden state h2 of
+    each step — identical to the scan path's rnn_out (padded steps carry
+    candidate values computed from the frozen carry; downstream losses
+    mask them).
+    """
+    return _decoder_loop_cvjp(
+        noise_prev, mask, prev_mask, w_cat, bias.reshape(1, -1),
+        b1_flat.reshape(1, -1), w2_mean, w2_logvar, b2_flat.reshape(1, -1),
+        w_ih, h0, c0, interpret)
