@@ -254,7 +254,8 @@ def _run_direction(cfg: DecoderConfig, cell_params: dict,
                 em["lin1"]["b"].reshape(-1), em["lin2"]["w"][0],
                 em["lin2"]["w"][1], em["lin2"]["b"].reshape(-1),
                 cell_params["w_ih"], h0, c0,
-                interpret=jax.default_backend() != "tpu")
+                interpret=jax.default_backend() != "tpu",
+                precision=rnn_mod.kernel_precision())
             rnn_out = jnp.swapaxes(outs, 0, 1).astype(h0.dtype)
             em_params = sampler_mod.sampler_apply(emission_params,
                                                   rnn_out)

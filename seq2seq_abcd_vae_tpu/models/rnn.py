@@ -41,6 +41,16 @@ def resolved_backend() -> str:
     return resolve_rnn_backend()
 
 
+def kernel_precision():
+    """MXU precision for Pallas kernel dots, honoring the session's
+    jax_default_matmul_precision (the CLI's --matmul_precision, default
+    'highest' for reference parity): Pallas bypasses the global config,
+    so the dispatch threads it explicitly."""
+    prec = jax.config.jax_default_matmul_precision
+    return (jax.lax.Precision.HIGHEST
+            if prec in ("highest", "float32") else None)
+
+
 # ---------------------------------------------------------------------------
 # Single-step cells. `x_proj` is x @ w_ih + b_ih, possibly precomputed.
 # ---------------------------------------------------------------------------
@@ -124,12 +134,13 @@ def run_rnn_layer(rnn_type: str, params: dict, x: jax.Array, mask: jax.Array,
         if reverse:
             outs, h_n, c_n = lstm_pallas.lstm_layer(
                 jnp.flip(xp_t, 0), jnp.flip(m_t, 0), params["w_hh"],
-                params["b_hh"], interpret=interpret)
+                params["b_hh"], interpret=interpret,
+                precision=kernel_precision())
             outs = jnp.flip(outs, 0)
         else:
             outs, h_n, c_n = lstm_pallas.lstm_layer(
                 xp_t, m_t, params["w_hh"], params["b_hh"],
-                interpret=interpret)
+                interpret=interpret, precision=kernel_precision())
         return jnp.swapaxes(outs, 0, 1), (h_n, c_n)
     mask_t = jnp.swapaxes(mask, 0, 1)[..., None]  # (T, B, 1)
     h0 = jnp.zeros((b, hidden), x.dtype)

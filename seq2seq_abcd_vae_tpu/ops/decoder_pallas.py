@@ -48,7 +48,7 @@ def _fwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
                 h0_ref, c0_ref,
                 out_ref, hs_ref, cs_ref,
                 h_scr, c_scr,
-                *, hidden: int, m: int):
+                *, hidden: int, m: int, precision=None):
     """One decoder step.  Streams: noise_prev (1,B,F), mask (1,B,1),
     prev_mask (1,B,1).  Resident: wcat (H, 4H+2m), bias (1,4H) =
     b_ih+b_hh, b1 (1,2m), w2m/w2v (m,F), b2 (1,2F) = [b2_mean|b2_logvar],
@@ -64,20 +64,24 @@ def _fwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
 
     h = h_scr[:]
     c = c_scr[:]
-    big = jnp.dot(h, wcat_ref[:, :], preferred_element_type=jnp.float32)
+    big = jnp.dot(h, wcat_ref[:, :], preferred_element_type=jnp.float32,
+                  precision=precision)
     hp = big[:, :4 * hidden]
     emh = jnp.tanh(big[:, 4 * hidden:] + b1_ref[:, :])
     f_dim = w2m_ref.shape[1]
     mean = (jnp.dot(emh[:, :m], w2m_ref[:, :],
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                  precision=precision)
             + b2_ref[:, :f_dim])
     logvar = (jnp.dot(emh[:, m:], w2v_ref[:, :],
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                  precision=precision)
               + b2_ref[:, f_dim:])
     x = mean + jnp.exp(0.5 * logvar) * noise_ref[0]
     x = x * pmask_ref[0]  # zero first input per row
     gates = (hp + jnp.dot(x, wih_ref[:, :],
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                  precision=precision)
              + bias_ref[:, :])
     i = jax.nn.sigmoid(gates[:, :hidden])
     f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
@@ -101,7 +105,7 @@ def _bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
                 dwcat_ref, dbias_ref, db1_ref, dw2m_ref, dw2v_ref,
                 db2_ref, dwih_ref, dh0_ref, dc0_ref,
                 dh_scr, dc_scr,
-                *, hidden: int, m: int):
+                *, hidden: int, m: int, precision=None):
     """Reverse-order grid: program s processes step t = T-1-s,
     recomputing the forward quantities from the saved trajectories."""
     s = pl.program_id(0)
@@ -128,19 +132,23 @@ def _bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
 
     # ---- forward recompute of this step
     big = jnp.dot(h_prev, wcat_ref[:, :],
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=jnp.float32,
+                  precision=precision)
     hp = big[:, :4 * hidden]
     emh = jnp.tanh(big[:, 4 * hidden:] + b1_ref[:, :])
     mean = (jnp.dot(emh[:, :m], w2m_ref[:, :],
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                  precision=precision)
             + b2_ref[:, :f_dim])
     logvar = (jnp.dot(emh[:, m:], w2v_ref[:, :],
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                  precision=precision)
               + b2_ref[:, f_dim:])
     std = jnp.exp(0.5 * logvar)
     x = (mean + std * eps) * pmt
     gates = (hp + jnp.dot(x, wih_ref[:, :],
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                  precision=precision)
              + bias_ref[:, :])
     i = jax.nn.sigmoid(gates[:, :hidden])
     f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
@@ -167,8 +175,10 @@ def _bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
         [di * i * (1.0 - i), df * f * (1.0 - f), dg * (1.0 - g * g),
          do * o * (1.0 - o)], axis=-1)
 
-    dx = jnp.dot(dz, wih_ref[:, :].T, preferred_element_type=jnp.float32)
-    dwih_ref[:, :] += jnp.dot(x.T, dz, preferred_element_type=jnp.float32)
+    dx = jnp.dot(dz, wih_ref[:, :].T, preferred_element_type=jnp.float32,
+                  precision=precision)
+    dwih_ref[:, :] += jnp.dot(x.T, dz, preferred_element_type=jnp.float32,
+                  precision=precision)
     dbias_ref[:, :] += jnp.sum(dz, axis=0, keepdims=True)
 
     dx = dx * pmt
@@ -177,13 +187,17 @@ def _bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
     db2_ref[:, :f_dim] += jnp.sum(dmean, axis=0, keepdims=True)
     db2_ref[:, f_dim:] += jnp.sum(dlogvar, axis=0, keepdims=True)
     demh_m = jnp.dot(dmean, w2m_ref[:, :].T,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                  precision=precision)
     demh_v = jnp.dot(dlogvar, w2v_ref[:, :].T,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                  precision=precision)
     dw2m_ref[:, :] += jnp.dot(emh[:, :m].T, dmean,
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                  precision=precision)
     dw2v_ref[:, :] += jnp.dot(emh[:, m:].T, dlogvar,
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                  precision=precision)
     demh = jnp.concatenate([demh_m, demh_v], axis=-1)
     dbig_em = demh * (1.0 - emh * emh)
     db1_ref[:, :] += jnp.sum(dbig_em, axis=0, keepdims=True)
@@ -191,10 +205,12 @@ def _bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
     dbig = jnp.concatenate([dz, dbig_em], axis=-1)
     dh_prev = (jnp.where(mt > 0, 0.0, dh_carry)
                + jnp.dot(dbig, wcat_ref[:, :].T,
-                         preferred_element_type=jnp.float32))
+                         preferred_element_type=jnp.float32,
+                  precision=precision))
     dc_prev = jnp.where(mt > 0, 0.0, dc_carry) + dc2 * f
     dwcat_ref[:, :] += jnp.dot(h_prev.T, dbig,
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                  precision=precision)
     dh_scr[:] = dh_prev
     dc_scr[:] = dc_prev
 
@@ -225,14 +241,15 @@ def _specs(t, b, f, hidden, m, g_all):
 
 
 def _fwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
-              h0, c0, interpret):
+              h0, c0, interpret, precision):
     t, b, f = noise.shape
     hidden = h0.shape[1]
     g_all = wcat.shape[1]
     m = (g_all - 4 * hidden) // 2
     ins, stream3, res = _specs(t, b, f, hidden, m, g_all)
     outs, hs, cs = pl.pallas_call(
-        functools.partial(_fwd_kernel, hidden=hidden, m=m),
+        functools.partial(_fwd_kernel, hidden=hidden, m=m,
+                          precision=precision),
         grid=(t,),
         in_specs=ins + [res((b, hidden)), res((b, hidden))],
         out_specs=[stream3((1, b, hidden)), stream3((1, b, hidden)),
@@ -248,7 +265,7 @@ def _fwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
 
 
 def _bwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
-              h0, c0, hs, cs, douts, interpret):
+              h0, c0, hs, cs, douts, interpret, precision):
     t, b, f = noise.shape
     hidden = h0.shape[1]
     g_all = wcat.shape[1]
@@ -284,7 +301,8 @@ def _bwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
         jax.ShapeDtypeStruct((b, hidden), jnp.float32),
     ]
     grads = pl.pallas_call(
-        functools.partial(_bwd_kernel, hidden=hidden, m=m),
+        functools.partial(_bwd_kernel, hidden=hidden, m=m,
+                          precision=precision),
         grid=(t,),
         in_specs=rev_ins,
         out_specs=out_specs,
@@ -297,28 +315,28 @@ def _bwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
     return grads
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(12,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13))
 def _decoder_loop_cvjp(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2,
-                       wih, h0, c0, interpret):
+                       wih, h0, c0, interpret, precision):
     outs, hs, cs = _fwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v,
-                             b2, wih, h0, c0, interpret)
+                             b2, wih, h0, c0, interpret, precision)
     return outs
 
 
 def _decoder_loop_fwd(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2,
-                      wih, h0, c0, interpret):
+                      wih, h0, c0, interpret, precision):
     outs, hs, cs = _fwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v,
-                             b2, wih, h0, c0, interpret)
+                             b2, wih, h0, c0, interpret, precision)
     return outs, (noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
                   h0, c0, hs, cs)
 
 
-def _decoder_loop_bwd(interpret, residuals, douts):
+def _decoder_loop_bwd(interpret, precision, residuals, douts):
     (noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih, h0, c0, hs,
      cs) = residuals
     (dwcat, dbias, db1, dw2m, dw2v, db2, dwih, dh0,
      dc0) = _bwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2,
-                      wih, h0, c0, hs, cs, douts, interpret)
+                      wih, h0, c0, hs, cs, douts, interpret, precision)
     return (jnp.zeros_like(noise), jnp.zeros_like(mask),
             jnp.zeros_like(pmask), dwcat, dbias.reshape(-1),
             db1.reshape(-1), dw2m, dw2v, db2.reshape(-1), dwih, dh0, dc0)
@@ -329,7 +347,7 @@ _decoder_loop_cvjp.defvjp(_decoder_loop_fwd, _decoder_loop_bwd)
 
 def decoder_loop(noise_prev, mask, prev_mask, w_cat, bias, b1_flat,
                  w2_mean, w2_logvar, b2_flat, w_ih, h0, c0,
-                 interpret: bool = False):
+                 interpret: bool = False, precision=None):
     """Run the full autoregressive decoder time loop in one kernel.
 
     Args:
@@ -355,4 +373,4 @@ def decoder_loop(noise_prev, mask, prev_mask, w_cat, bias, b1_flat,
     return _decoder_loop_cvjp(
         noise_prev, mask, prev_mask, w_cat, bias.reshape(1, -1),
         b1_flat.reshape(1, -1), w2_mean, w2_logvar, b2_flat.reshape(1, -1),
-        w_ih, h0, c0, interpret)
+        w_ih, h0, c0, interpret, precision)

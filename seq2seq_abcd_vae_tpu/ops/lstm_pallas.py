@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _fwd_kernel(xp_ref, mask_ref, w_ref, b_ref, out_ref, cs_ref, hn_ref,
-                cn_ref, h_scr, c_scr):
+                cn_ref, h_scr, c_scr, *, precision=None):
     t = pl.program_id(0)
     nt = pl.num_programs(0)
 
@@ -55,7 +55,8 @@ def _fwd_kernel(xp_ref, mask_ref, w_ref, b_ref, out_ref, cs_ref, hn_ref,
     h = h_scr[:]
     c = c_scr[:]
     gates = (xp_ref[0] + jnp.dot(h, w_ref[:, :],
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                         precision=precision)
              + b_ref[:, :])
     hidden = h.shape[-1]
     i = jax.nn.sigmoid(gates[:, :hidden])
@@ -81,7 +82,7 @@ def _fwd_kernel(xp_ref, mask_ref, w_ref, b_ref, out_ref, cs_ref, hn_ref,
 def _bwd_kernel(xp_ref, mask_ref, w_ref, b_ref, hprev_ref, cprev_ref,
                 c_ref, dout_ref, dhn_ref, dcn_ref,
                 dxp_ref, dw_ref, db_ref,
-                dh_scr, dc_scr):
+                dh_scr, dc_scr, *, precision=None):
     """Reverse-order grid: program s processes step t = T-1-s."""
     s = pl.program_id(0)
     nt = pl.num_programs(0)
@@ -100,7 +101,8 @@ def _bwd_kernel(xp_ref, mask_ref, w_ref, b_ref, hprev_ref, cprev_ref,
 
     # Recompute the gates of this step.
     gates = (xp_ref[0] + jnp.dot(h_prev, w_ref[:, :],
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                         precision=precision)
              + b_ref[:, :])
     hidden = h_prev.shape[-1]
     i = jax.nn.sigmoid(gates[:, :hidden])
@@ -131,25 +133,27 @@ def _bwd_kernel(xp_ref, mask_ref, w_ref, b_ref, hprev_ref, cprev_ref,
     # grads through the identity branch (mask=0): dh/dc pass straight.
     dh_prev = (jnp.where(m, 0.0, dh)
                + jnp.dot(dz, w_ref[:, :].T,
-                         preferred_element_type=jnp.float32))
+                         preferred_element_type=jnp.float32,
+                         precision=precision))
     dc_prev = jnp.where(m, dc2 * f, dc)
 
     dxp_ref[0] = dz
     dw_ref[:, :] += jnp.dot(h_prev.T, dz,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                         precision=precision)
     db_ref[:, :] += jnp.sum(dz, axis=0, keepdims=True)
     dh_scr[:] = dh_prev
     dc_scr[:] = dc_prev
     _ = nt  # (grid size only used implicitly)
 
 
-def _fwd_call(xp, mask, w_hh, b_hh, interpret):
+def _fwd_call(xp, mask, w_hh, b_hh, interpret, precision):
     t, b, g = xp.shape
     hidden = w_hh.shape[0]
     mask_f = mask.astype(xp.dtype)
     b_row = b_hh.reshape(1, g)
     outs, cs, h_n, c_n = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, precision=precision),
         grid=(t,),
         in_specs=[
             pl.BlockSpec((1, b, g), lambda i: (i, 0, 0),
@@ -186,7 +190,8 @@ def _fwd_call(xp, mask, w_hh, b_hh, interpret):
     return outs, cs, h_n, c_n
 
 
-def _bwd_call(xp, mask, w_hh, b_hh, outs, cs, douts, dh_n, dc_n, interpret):
+def _bwd_call(xp, mask, w_hh, b_hh, outs, cs, douts, dh_n, dc_n,
+              interpret, precision):
     t, b, g = xp.shape
     hidden = w_hh.shape[0]
     mask_f = mask.astype(xp.dtype)[..., None]
@@ -198,7 +203,7 @@ def _bwd_call(xp, mask, w_hh, b_hh, outs, cs, douts, dh_n, dc_n, interpret):
 
     rev = lambda i: (t - 1 - i, 0, 0)
     dxp, dw, db = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, precision=precision),
         grid=(t,),
         in_specs=[
             pl.BlockSpec((1, b, g), rev, memory_space=pltpu.VMEM),       # xp
@@ -237,29 +242,31 @@ def _bwd_call(xp, mask, w_hh, b_hh, outs, cs, douts, dh_n, dc_n, interpret):
     return dxp, dw, db.reshape(-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _lstm_layer_cvjp(xp, mask_f, w_hh, b_hh, interpret):
-    outs, cs, h_n, c_n = _fwd_call(xp, mask_f, w_hh, b_hh, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _lstm_layer_cvjp(xp, mask_f, w_hh, b_hh, interpret, precision):
+    outs, cs, h_n, c_n = _fwd_call(xp, mask_f, w_hh, b_hh, interpret,
+                                   precision)
     return outs, h_n, c_n
 
 
-def _lstm_layer_fwd(xp, mask_f, w_hh, b_hh, interpret):
-    outs, cs, h_n, c_n = _fwd_call(xp, mask_f, w_hh, b_hh, interpret)
+def _lstm_layer_fwd(xp, mask_f, w_hh, b_hh, interpret, precision):
+    outs, cs, h_n, c_n = _fwd_call(xp, mask_f, w_hh, b_hh, interpret,
+                                   precision)
     return (outs, h_n, c_n), (xp, mask_f, w_hh, b_hh, outs, cs)
 
 
-def _lstm_layer_bwd(interpret, residuals, grads):
+def _lstm_layer_bwd(interpret, precision, residuals, grads):
     xp, mask_f, w_hh, b_hh, outs, cs = residuals
     douts, dh_n, dc_n = grads
     dxp, dw, db = _bwd_call(xp, mask_f, w_hh, b_hh, outs, cs, douts, dh_n,
-                            dc_n, interpret)
+                            dc_n, interpret, precision)
     return dxp, jnp.zeros_like(mask_f), dw, db
 
 
 _lstm_layer_cvjp.defvjp(_lstm_layer_fwd, _lstm_layer_bwd)
 
 
-def lstm_layer(xp, mask, w_hh, b_hh, interpret=False):
+def lstm_layer(xp, mask, w_hh, b_hh, interpret=False, precision=None):
     """Masked LSTM layer over time-major projected inputs.
 
     Args:
@@ -273,4 +280,4 @@ def lstm_layer(xp, mask, w_hh, b_hh, interpret=False):
     differentiable through jax.grad (custom VJP, backward also Pallas).
     """
     return _lstm_layer_cvjp(xp, mask.astype(xp.dtype), w_hh, b_hh,
-                            interpret)
+                            interpret, precision)
