@@ -75,8 +75,10 @@ def make_workload(args, out_dir):
         # scripts/toyaug_corpus.py
         sys.path.insert(0, os.path.join(REPO, "scripts"))
         from toyaug_corpus import toyaug_corpus
+        g, r, n = args.toyaug_strength
         ann, df = toyaug_corpus(out_dir, args.segments,
-                                seed=args.corpus_seed)
+                                seed=args.corpus_seed, gain_spread=g,
+                                resample_spread=r, noise_rms=n)
         return out_dir, ann, df["label"].to_dict()
     if args.corpus == "synthetic":
         sys.path.insert(0, os.path.join(REPO, "scripts"))
@@ -261,6 +263,12 @@ def main():
                          "class; remaining rows re-reference them "
                          "byte-identically (the toy-corpus regime where "
                          "the ABCD head actually commits to clusters)")
+    ap.add_argument("--toyaug_strength", type=float, nargs=3,
+                    default=(0.4, 0.05, 0.02),
+                    metavar=("GAIN", "RESAMPLE", "NOISE"),
+                    help="toyaug augmentation scales (gain spread, "
+                         "resample spread, noise rms); 0 0 0 = replicated"
+                         " regime")
     ap.add_argument("--corpus_seed", type=int, default=0,
                     help="corpus generation seed (fixed across run seeds "
                          "so every seed trains on the identical corpus)")

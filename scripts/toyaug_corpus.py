@@ -46,28 +46,38 @@ def _load_templates():
     return fs, segs
 
 
-def _augment(rng: np.random.Generator, seg: np.ndarray) -> np.ndarray:
-    gain = rng.uniform(0.6, 1.4)
-    rate = rng.uniform(0.95, 1.05)
+def _augment(rng: np.random.Generator, seg: np.ndarray,
+             gain_spread: float = 0.4, resample_spread: float = 0.05,
+             noise_rms: float = 0.02) -> np.ndarray:
+    gain = rng.uniform(1.0 - gain_spread, 1.0 + gain_spread)
+    rate = rng.uniform(1.0 - resample_spread, 1.0 + resample_spread)
     n = len(seg)
     m = int(round(n / rate))
     pos = np.linspace(0.0, n - 1.0, m)
     out = np.interp(pos, np.arange(n), seg) * gain
-    rms = np.sqrt(np.mean(out ** 2)) + 1e-9
-    out = out + rng.normal(size=m) * rng.uniform(0.0, 0.02) * rms
+    if noise_rms > 0.0:
+        rms = np.sqrt(np.mean(out ** 2)) + 1e-9
+        out = out + rng.normal(size=m) * rng.uniform(0.0, noise_rms) * rms
     return out
 
 
 def toyaug_corpus(out_dir: str, num_segments: int, seed: int = 0,
-                  valid_every: int = 10):
-    """Returns (annotation_csv_path, dataframe with a `label` column)."""
+                  valid_every: int = 10, gain_spread: float = 0.4,
+                  resample_spread: float = 0.05, noise_rms: float = 0.02):
+    """Returns (annotation_csv_path, dataframe with a `label` column).
+
+    The three augmentation scales are the distinctness dial: all zero
+    reproduces the replicated-toy regime (byte-near-identical copies)
+    where the ABCD head demonstrably commits; the defaults give fully
+    distinct variants.  PARITY.md's dose-response analysis sweeps this.
+    """
     rng = np.random.default_rng(seed)
     fs, templates = _load_templates()
     rows, samples = [], []
     cursor = 0.05
     for i in range(num_segments):
         seg, label, speaker = templates[i % len(templates)]
-        aug = _augment(rng, seg)
+        aug = _augment(rng, seg, gain_spread, resample_spread, noise_rms)
         dur = len(aug) / fs
         rows.append((round(cursor, 6), round(cursor + dur, 6),
                      "toyaug.wav",
