@@ -310,7 +310,9 @@ def main():
     if not args.skip_ours:
         ours_curves, ours_assign, ours_wall = run_ours(wav_root, ann, args,
                                                        work)
-        payload["ours"] = {"curves": ours_curves, "wall_s": ours_wall}
+        payload["ours"] = {"curves": ours_curves, "wall_s": ours_wall,
+                           "assignments": {str(k): v for k, v
+                                           in sorted(ours_assign.items())}}
         if truth is not None:
             keys = sorted(ours_assign)
             payload["ours"]["ari_vs_truth"] = adjusted_rand_index(
@@ -319,7 +321,9 @@ def main():
     if not args.skip_reference:
         ref_curves, ref_assign, ref_wall = run_reference(wav_root, ann, args,
                                                          work)
-        payload["reference"] = {"curves": ref_curves, "wall_s": ref_wall}
+        payload["reference"] = {"curves": ref_curves, "wall_s": ref_wall,
+                                "assignments": {str(k): v for k, v
+                                                in sorted(ref_assign.items())}}
         if truth is not None:
             keys = sorted(ref_assign)
             payload["reference"]["ari_vs_truth"] = adjusted_rand_index(
