@@ -96,8 +96,10 @@ def main():
 
     fe = FrontendSpec(frame, step)
     train = parser.get_data("train")
+    bmode = ("length_sorted" if length_sorted else
+             os.environ.get("BENCH_BATCHING_MODE", "bucket_shuffled"))
     loader = DataLoader(train, fe, batch_size=batch_size, shuffle=True,
-                        length_sorted=length_sorted)
+                        batching_mode=bmode)
     statics = learner._statics(fe, 2.0 ** -15, 11.0)
     learner.gradient_clip = 1.0
     learner._momentum = 0.0
@@ -178,7 +180,7 @@ def main():
     # ------------------------------------------------------------------
     from seq2seq_abcd_vae_tpu.utils.backend_select import backend_report
     stats_loader = DataLoader(train, fe, batch_size=batch_size,
-                              shuffle=True, length_sorted=length_sorted)
+                              shuffle=True, batching_mode=bmode)
     pad_stats = stats_loader.epoch_padding_stats()
 
     baseline_path = os.path.join(REPO, "BASELINE_MEASURED.json")
@@ -201,6 +203,7 @@ def main():
         "scan_unroll": os.environ.get("SEQ2SEQ_SCAN_UNROLL", "4"),
         "matmul_precision": precision,
         "length_sorted": length_sorted,
+        "batching_mode": bmode,
         "bucket_edges": stats_loader.bucket_edges,
         "frame_waste_frac": round(pad_stats["frame_waste_frac"], 4),
         "reference_sps": ref_sps,

@@ -181,6 +181,7 @@ def run_ours(wav_root, ann, args, work):
         "--mlp_hidden_size", str(args.hidden), "-N", "11.0", "-d",
         args.device, "-s", str(args.seed), "-p", str(args.patience),
         "--matmul_precision", args.matmul_precision,
+        "--batching_mode", "uniform",  # reference-exact batch draws
         "--prior_concentration", str(args.prior_concentration)]
     if args.length_sorted_batches:
         argv.append("--length_sorted_batches")

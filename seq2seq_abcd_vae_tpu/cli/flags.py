@@ -34,6 +34,14 @@ def _tpu_extras(p: argparse.ArgumentParser) -> None:
                         "(smallest possible padded bucket per batch; "
                         "changes batch composition vs the reference's "
                         "uniform draws).")
+    g.add_argument("--batching_mode", type=str, default=None,
+                   choices=["uniform", "bucket_shuffled", "length_sorted"],
+                   help="Training batch composition: 'bucket_shuffled' "
+                        "(default; shuffled within length buckets, "
+                        "bucket-homogeneous batches, minimal padding), "
+                        "'uniform' (the reference's uniform draws), or "
+                        "'length_sorted' (global sort, = "
+                        "--length_sorted_batches).")
     g.add_argument("--profile_dir", type=str, default=None,
                    help="If set, capture a jax.profiler trace of one "
                         "steady-state epoch into this directory.")

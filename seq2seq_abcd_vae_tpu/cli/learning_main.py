@@ -86,6 +86,7 @@ def main(variant: str, argv=None) -> None:
         num_data_partitions=parameters.num_data_partitions,
         profile_dir=parameters.profile_dir,
         length_sorted_batches=parameters.length_sorted_batches,
+        batching_mode=parameters.batching_mode,
     )
     if variant == "abcd":
         learner = Learner(

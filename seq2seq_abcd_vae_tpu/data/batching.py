@@ -117,14 +117,29 @@ class DataLoader:
                  batch_size: int = 1, shuffle: bool = False,
                  seed: int = 1111, pad_to_batch_size: bool = True,
                  min_bucket: int = 32, length_sorted: bool = False,
-                 num_buckets: int = 6):
+                 num_buckets: int = 6, batching_mode: str | None = None):
+        """batching_mode controls batch COMPOSITION:
+        - 'uniform': reference semantics — batches drawn from a uniform
+          shuffle, so one long segment drags the whole batch to the top
+          bucket (data_utils.py:150-185);
+        - 'bucket_shuffled': segments are shuffled WITHIN their length
+          bucket and batches are bucket-homogeneous, batch order
+          shuffled — same stochastic coverage, minimal padding waste
+          (the training default);
+        - 'length_sorted': deterministic-ish global length sort with
+          random tie-break (the --length_sorted_batches extension).
+        None keeps the legacy kwargs (length_sorted flag, else uniform).
+        """
         self.dataset = dataset
         self.frontend = frontend
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.pad_to_batch_size = pad_to_batch_size
         self.min_bucket = min_bucket
-        self.length_sorted = length_sorted
+        self.length_sorted = length_sorted or batching_mode == "length_sorted"
+        self.batching_mode = (batching_mode if batching_mode is not None
+                              else ("length_sorted" if length_sorted
+                                    else "uniform"))
         self._rng = np.random.default_rng(seed)
         self.bucket_edges = quantile_bucket_edges(
             self._frames_for_lengths(dataset.lengths_np),
@@ -159,11 +174,41 @@ class DataLoader:
                 else 1.0 - real / padded}
 
     def get_num_batches(self) -> int:
+        if self.batching_mode == "bucket_shuffled":
+            frames = self._frames_for_lengths(self.dataset.lengths_np)
+            edges = np.asarray(self.bucket_edges)
+            assign = np.minimum(np.searchsorted(edges, frames, "left"),
+                                len(edges) - 1)
+            return int(sum(-(-int(c) // self.batch_size) for c in
+                           np.bincount(assign) if c))
         n = len(self.dataset)
         return -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[RawBatch]:
         n = len(self.dataset)
+        if self.batching_mode == "bucket_shuffled":
+            # Bucket-homogeneous batches: every row appears exactly once
+            # per epoch; composition reshuffles within each bucket every
+            # epoch; batch order is shuffled across buckets.  Partial
+            # batches (one per bucket at most) run at their true size
+            # unless pad_to_batch_size.
+            frames = self._frames_for_lengths(self.dataset.lengths_np)
+            edges = np.asarray(self.bucket_edges)
+            assign = np.searchsorted(edges, frames, side="left")
+            assign = np.minimum(assign, len(edges) - 1)
+            batches = []
+            for e in np.unique(assign):
+                members = np.flatnonzero(assign == e)
+                if self.shuffle:
+                    members = self._rng.permutation(members)
+                batches += [members[i:i + self.batch_size]
+                            for i in range(0, len(members),
+                                           self.batch_size)]
+            if self.shuffle:
+                self._rng.shuffle(batches)
+            for positional in batches:
+                yield self.make_batch(positional)
+            return
         if self.length_sorted:
             # TPU extension (off by default; the reference draws batches
             # uniformly): group length-similar segments so each batch gets

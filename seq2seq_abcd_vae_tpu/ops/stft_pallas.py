@@ -37,16 +37,23 @@ def supports(frame_length: int, step_size: int) -> bool:
     return frame_length == 2 * step_size
 
 
+_ROWS = 8  # rows per program: TPU blocks need a sublane-multiple
+
+
 def _kernel(audio_ref, cos_ref, sin_ref, out_ref, *, num_frames: int,
             step_size: int, epsilon: float, inv_normalizer: float):
-    # audio row -> (num_frames+1, step) chunk matrix
+    # audio rows -> (rows, num_frames+1, step) chunk tensor
     usable = (num_frames + 1) * step_size
-    chunks = audio_ref[0, :usable].reshape(num_frames + 1, step_size)
-    frames = jnp.concatenate([chunks[:num_frames], chunks[1:]], axis=1)
-    re = jnp.dot(frames, cos_ref[:, :], preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, sin_ref[:, :], preferred_element_type=jnp.float32)
+    chunks = audio_ref[:, :usable].reshape(_ROWS, num_frames + 1,
+                                           step_size)
+    frames = jnp.concatenate([chunks[:, :num_frames], chunks[:, 1:]],
+                             axis=2)
+    flat = frames.reshape(_ROWS * num_frames, 2 * step_size)
+    re = jnp.dot(flat, cos_ref[:, :], preferred_element_type=jnp.float32)
+    im = jnp.dot(flat, sin_ref[:, :], preferred_element_type=jnp.float32)
     amp = jnp.sqrt(re * re + im * im)
-    out_ref[0] = jnp.log(amp + epsilon) * inv_normalizer
+    out = jnp.log(amp + epsilon) * inv_normalizer
+    out_ref[:, :, :] = out.reshape(_ROWS, num_frames, -1)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -68,22 +75,32 @@ def log_spectrogram_pallas(audio: jax.Array, frame_length: int,
     win = stft_ops.get_window(window, frame_length)
     cos_b, sin_b = stft_ops.dft_basis(frame_length, win)
 
+    # TPU block shapes need a sublane-multiple of rows; pad the batch to
+    # _ROWS and slice the padding back off (silence rows are harmless:
+    # log(0+eps) is finite).
+    b_pad = -(-b // _ROWS) * _ROWS
+    if b_pad != b:
+        audio = jnp.pad(audio, ((0, b_pad - b), (0, 0)))
+
     kernel = functools.partial(
         _kernel, num_frames=num_frames, step_size=step_size,
         epsilon=epsilon, inv_normalizer=1.0 / normalizer)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, num_frames, bins), jnp.float32),
-        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b_pad, num_frames, bins),
+                                       jnp.float32),
+        grid=(b_pad // _ROWS,),
         in_specs=[
-            pl.BlockSpec((1, l_buf), lambda i: (i, 0),
+            pl.BlockSpec((_ROWS, l_buf), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((frame_length, bins), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((frame_length, bins), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, num_frames, bins), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((_ROWS, num_frames, bins),
+                               lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(audio, jnp.asarray(cos_b), jnp.asarray(sin_b))
+    return out[:b]

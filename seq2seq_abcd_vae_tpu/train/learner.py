@@ -161,7 +161,8 @@ class Learner:
                  stft_method: str = "fft",
                  num_data_partitions: Optional[int] = None,
                  profile_dir: Optional[str] = None,
-                 length_sorted_batches: bool = False):
+                 length_sorted_batches: bool = False,
+                 batching_mode: Optional[str] = None):
         self.retrieval, self.log_file_path = update_log_handler(save_dir)
         self.save_dir = save_dir
         self.stft_method = stft_method
@@ -172,6 +173,12 @@ class Learner:
         self._setup_mesh(num_data_partitions)
         self.profile_dir = profile_dir
         self.length_sorted_batches = length_sorted_batches
+        # Batch composition policy (data/batching.py): bucket-homogeneous
+        # shuffled batches by default (minimal padding waste); 'uniform'
+        # reproduces the reference's uniform draws exactly.
+        self.batching_mode = (batching_mode if batching_mode
+                              else ("length_sorted" if length_sorted_batches
+                                    else "bucket_shuffled"))
         self._checkpointer = ckpt.AsyncCheckpointer()
         logger.info("Device: {device}".format(
             device=device or str(self.device)))
@@ -501,18 +508,22 @@ class Learner:
               pretrain_epochs: int = 0, learning_rate: float = 0.1,
               momentum: float = 0.9, gradient_clip: float = 0.25,
               patience: int = 0) -> None:
-        sorted_b = getattr(self, "length_sorted_batches", False)
+        mode = getattr(self, "batching_mode", "bucket_shuffled")
         # Only a device mesh needs row-count divisibility; off-mesh the
         # last partial batch runs at its true size (one extra compiled
         # program per bucket instead of up to B-1 wasted padding rows).
         pad_b = self.mesh is not None
         train_dataloader = DataLoader(train_dataset, frontend,
                                       batch_size=batch_size_train,
-                                      shuffle=True, length_sorted=sorted_b,
+                                      shuffle=True, batching_mode=mode,
                                       pad_to_batch_size=pad_b)
+        # eval order is loss-irrelevant (sum-reduced); group by length
+        # for minimal padding unless exact reference iteration was asked
         valid_dataloader = DataLoader(valid_dataset, frontend,
                                       batch_size=batch_size_valid,
-                                      length_sorted=sorted_b,
+                                      batching_mode=("uniform" if
+                                                     mode == "uniform"
+                                                     else "length_sorted"),
                                       pad_to_batch_size=pad_b)
         statics = self._statics(frontend, epsilon, data_normalizer)
 

@@ -74,6 +74,57 @@ def test_length_sorted_batches(tmp_path, rng):
     seen = [ix for b in sorted_loader for ix in b.ixs]
     assert sorted(seen) == sorted(ds.df_annotation.index)
 
-    mixed = DataLoader(ds, fe, batch_size=4, shuffle=True, seed=0)
+    mixed = DataLoader(ds, fe, batch_size=4, shuffle=True, seed=0,
+                       batching_mode="uniform")
     mixed_buckets = [b.bucket_frames for b in mixed]
     assert max(mixed_buckets) == max(buckets)
+
+
+def test_bucket_shuffled_batches(tmp_path, rng):
+    import pandas as pd
+    import scipy.io.wavfile as spw
+
+    from seq2seq_abcd_vae_tpu.data.annotations import AnnotationParser
+    from seq2seq_abcd_vae_tpu.data.batching import DataLoader, FrontendSpec
+
+    fs = 16000
+    wav = (rng.normal(size=20 * fs) * 3000).astype(np.int16)
+    spw.write(tmp_path / "w.wav", fs, wav)
+    rows, cursor = [], 0.02
+    durations = ([0.1, 0.11, 0.12, 0.13, 0.1, 0.12]
+                 + [0.8, 0.75, 0.82, 0.78, 0.8, 0.76])
+    for d in durations:
+        rows.append(("w.wav", round(cursor, 3), round(cursor + d, 3),
+                     "train"))
+        cursor += d + 0.02
+    pd.DataFrame(rows, columns=["input_path", "onset", "offset",
+                                "data_type"]).to_csv(tmp_path / "a.csv",
+                                                     index=False)
+    p = AnnotationParser(str(tmp_path), str(tmp_path / "a.csv"))
+    ds = p.get_data("train")
+    fe = FrontendSpec(128, 64)
+
+    loader = DataLoader(ds, fe, batch_size=4, shuffle=True, seed=0,
+                        batching_mode="bucket_shuffled",
+                        pad_to_batch_size=False)
+    batches = list(loader)
+    # exact cover: every row exactly once per epoch
+    seen = [ix for b in batches for ix in b.ixs]
+    assert sorted(seen) == sorted(ds.df_annotation.index)
+    assert len(batches) == loader.get_num_batches()
+    # bucket-homogeneous: no batch mixes the short (~30 frame) and long
+    # (~200 frame) populations, so short batches keep a small bucket
+    assert min(b.bucket_frames for b in batches) < 64
+    for b in batches:
+        assert (b.num_frames[:b.num_real] <= b.bucket_frames).all()
+    # composition reshuffles across epochs (within-bucket permutation)
+    first = [tuple(b.ixs) for b in batches]
+    second = [tuple(b.ixs) for b in loader]
+    assert sorted(x for t in first for x in t) == \
+        sorted(x for t in second for x in t)
+    # padding waste is below the uniform loader's
+    waste_b = loader.epoch_padding_stats()["frame_waste_frac"]
+    uni = DataLoader(ds, fe, batch_size=4, shuffle=True, seed=0,
+                     batching_mode="uniform", pad_to_batch_size=False)
+    waste_u = uni.epoch_padding_stats()["frame_waste_frac"]
+    assert waste_b < waste_u, (waste_b, waste_u)
