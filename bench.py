@@ -35,7 +35,8 @@ import pandas as pd
 
 
 def replicated_toy_annotation(num_segments: int, work: str):
-    root = "/root/reference/toy_data"
+    from toyaug_corpus import toy_data_root
+    root = toy_data_root()
     csv_path = [os.path.join(root, f) for f in os.listdir(root)
                 if f.startswith("annotation") and f.endswith(".csv")][0]
     df = pd.read_csv(csv_path)

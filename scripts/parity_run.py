@@ -91,7 +91,8 @@ def make_workload(args, out_dir):
                                dur_range=dur,
                                unique_per_class=args.unique_per_class)
         return out_dir, ann, df["label"].to_dict()
-    src = os.path.join(REFERENCE, "toy_data")
+    from toyaug_corpus import toy_data_root
+    src = toy_data_root()
     csv = [f for f in os.listdir(src) if f.endswith(".csv")][0]
     df = pd.read_csv(os.path.join(src, csv))
     base = df[df.data_type == "train"]

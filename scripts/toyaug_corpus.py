@@ -29,10 +29,18 @@ import pandas as pd
 import scipy.io.wavfile as spw
 
 REFERENCE = os.environ.get("REFERENCE_ROOT", "/root/reference")
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+
+
+def toy_data_root() -> str:
+    """Reference toy_data when mounted, else the vendored fixture."""
+    ref = os.path.join(REFERENCE, "toy_data")
+    return ref if os.path.isdir(ref) else os.path.join(REPO, "fixtures",
+                                                       "toy_data")
 
 
 def _load_templates():
-    root = os.path.join(REFERENCE, "toy_data")
+    root = toy_data_root()
     csv = [f for f in os.listdir(root) if f.endswith(".csv")][0]
     df = pd.read_csv(os.path.join(root, csv))
     df = df[df.data_type == "train"].reset_index(drop=True)
