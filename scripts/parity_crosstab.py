@@ -42,10 +42,57 @@ def load(tag: str, side: str, seed: int):
     return d.get(key)
 
 
+def pair_matrix(tag: str, seeds):
+    """Within- and cross-framework all-pairs ARI over non-collapsed runs.
+
+    The reference's own seed-to-seed agreement is the ceiling any
+    cross-framework comparison can be held to: basins pick different
+    template groupings per seed, so ref-vs-ref disagrees with itself at
+    exactly the rate ours-vs-ref does if the implementations are
+    statistically equivalent.
+    """
+    runs = {}
+    for side in ("ours", "ref"):
+        for seed in seeds:
+            o = load(tag, side, seed)
+            if not o or not o.get("assignments"):
+                continue
+            if effective_clusters(o["clusters"]) < 2:
+                continue
+            runs[(side, seed)] = o["assignments"]
+    names = sorted(runs)
+    out = {"within_ref": [], "within_ours": [], "cross": []}
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            keys = sorted(set(runs[a]) & set(runs[b]), key=int)
+            v = adjusted_rand_index([runs[a][k] for k in keys],
+                                    [runs[b][k] for k in keys])
+            kind = ("within_%s" % a[0] if a[0] == b[0] else "cross")
+            kind = kind.replace("within_ref", "within_ref").replace(
+                "within_ours", "within_ours")
+            out[kind if kind in out else "cross"].append(
+                (a, b, round(v, 4)))
+    for kind, pairs in out.items():
+        vals = [v for _, _, v in pairs]
+        if vals:
+            print("%s: n=%d median %.4f  values %s" % (
+                kind, len(vals), float(np.median(vals)),
+                sorted(round(v, 3) for v in vals)))
+    return out
+
+
 def main():
+    if sys.argv[1] == "--matrix":
+        tag = sys.argv[2]
+        seeds = [int(s) for s in sys.argv[3:]] or [9999, 1111, 2222, 7777,
+                                                   12345, 4444, 5555,
+                                                   6666, 8888]
+        pair_matrix(tag, seeds)
+        return
     tag = sys.argv[1]
     seeds = [int(s) for s in sys.argv[2:]] or [9999, 1111, 2222, 7777,
-                                               12345]
+                                               12345, 4444, 5555, 6666,
+                                               8888]
     rows = []
     for seed in seeds:
         ours = load(tag, "ours", seed)
