@@ -99,8 +99,10 @@ def main():
     train = parser.get_data("train")
     bmode = ("length_sorted" if length_sorted else
              os.environ.get("BENCH_BATCHING_MODE", "bucket_shuffled"))
+    # pad_to_batch_size=False matches the Learner's off-mesh behavior:
+    # partial batches run at their true row count (data/batching.py)
     loader = DataLoader(train, fe, batch_size=batch_size, shuffle=True,
-                        batching_mode=bmode)
+                        batching_mode=bmode, pad_to_batch_size=False)
     statics = learner._statics(fe, 2.0 ** -15, 11.0)
     learner.gradient_clip = 1.0
     learner._momentum = 0.0
@@ -181,7 +183,8 @@ def main():
     # ------------------------------------------------------------------
     from seq2seq_abcd_vae_tpu.utils.backend_select import backend_report
     stats_loader = DataLoader(train, fe, batch_size=batch_size,
-                              shuffle=True, batching_mode=bmode)
+                              shuffle=True, batching_mode=bmode,
+                              pad_to_batch_size=False)
     pad_stats = stats_loader.epoch_padding_stats()
 
     baseline_path = os.path.join(REPO, "BASELINE_MEASURED.json")

@@ -174,36 +174,33 @@ class DataLoader:
                 else 1.0 - real / padded}
 
     def get_num_batches(self) -> int:
-        if self.batching_mode == "bucket_shuffled":
-            frames = self._frames_for_lengths(self.dataset.lengths_np)
-            edges = np.asarray(self.bucket_edges)
-            assign = np.minimum(np.searchsorted(edges, frames, "left"),
-                                len(edges) - 1)
-            return int(sum(-(-int(c) // self.batch_size) for c in
-                           np.bincount(assign) if c))
         n = len(self.dataset)
         return -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[RawBatch]:
         n = len(self.dataset)
         if self.batching_mode == "bucket_shuffled":
-            # Bucket-homogeneous batches: every row appears exactly once
-            # per epoch; composition reshuffles within each bucket every
-            # epoch; batch order is shuffled across buckets.  Partial
-            # batches (one per bucket at most) run at their true size
-            # unless pad_to_batch_size.
+            # Bucket-grouped batches WITHOUT fragmentation: rows are
+            # permuted within their length bucket, buckets are
+            # concatenated small-to-large, and the combined order is
+            # chunked into exactly ceil(N/B) batches (same count as
+            # uniform draws — fragmenting into per-bucket partial batches
+            # multiplies the sequential scan-step count and loses more
+            # than the padding it saves).  Full batches are
+            # bucket-homogeneous; at most one chunk per bucket boundary
+            # mixes adjacent buckets.  Batch order is shuffled.
             frames = self._frames_for_lengths(self.dataset.lengths_np)
             edges = np.asarray(self.bucket_edges)
             assign = np.searchsorted(edges, frames, side="left")
             assign = np.minimum(assign, len(edges) - 1)
-            batches = []
+            parts = []
             for e in np.unique(assign):
                 members = np.flatnonzero(assign == e)
-                if self.shuffle:
-                    members = self._rng.permutation(members)
-                batches += [members[i:i + self.batch_size]
-                            for i in range(0, len(members),
-                                           self.batch_size)]
+                parts.append(self._rng.permutation(members)
+                             if self.shuffle else members)
+            order = np.concatenate(parts)
+            batches = [order[i:i + self.batch_size]
+                       for i in range(0, n, self.batch_size)]
             if self.shuffle:
                 self._rng.shuffle(batches)
             for positional in batches:

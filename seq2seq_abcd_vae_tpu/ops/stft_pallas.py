@@ -40,20 +40,29 @@ def supports(frame_length: int, step_size: int) -> bool:
 _ROWS = 8  # rows per program: TPU blocks need a sublane-multiple
 
 
-def _kernel(audio_ref, cos_ref, sin_ref, out_ref, *, num_frames: int,
+def _kernel(chunks_ref, cos_ref, sin_ref, out_ref, *, num_frames: int,
             step_size: int, epsilon: float, inv_normalizer: float):
-    # audio rows -> (rows, num_frames+1, step) chunk tensor
-    usable = (num_frames + 1) * step_size
-    chunks = audio_ref[:, :usable].reshape(_ROWS, num_frames + 1,
-                                           step_size)
-    frames = jnp.concatenate([chunks[:, :num_frames], chunks[:, 1:]],
-                             axis=2)
-    flat = frames.reshape(_ROWS * num_frames, 2 * step_size)
-    re = jnp.dot(flat, cos_ref[:, :], preferred_element_type=jnp.float32)
-    im = jnp.dot(flat, sin_ref[:, :], preferred_element_type=jnp.float32)
-    amp = jnp.sqrt(re * re + im * im)
-    out = jnp.log(amp + epsilon) * inv_normalizer
-    out_ref[:, :, :] = out.reshape(_ROWS, num_frames, -1)
+    # chunks_ref: (rows, num_frames+1, step) — chunked OUTSIDE the kernel
+    # (Mosaic cannot relayout a lane split).  Frame t is the concat
+    # [chunk_t | chunk_{t+1}], but Mosaic cannot lane-concat
+    # sublane-shifted vectors either, so the DFT is split algebraically:
+    #   re[t] = chunk_t @ cosL + chunk_{t+1} @ cosR
+    # — two (T+1, step) x (step, bins) MXU matmuls per row and a
+    # shifted add; the frame matrix never materializes, and
+    # window/DFT/|.|/log all fuse into one kernel.
+    t = num_frames
+    cos_l, cos_r = cos_ref[:step_size, :], cos_ref[step_size:, :]
+    sin_l, sin_r = sin_ref[:step_size, :], sin_ref[step_size:, :]
+    for r in range(_ROWS):
+        chunks = chunks_ref[r]
+        re_a = jnp.dot(chunks, cos_l, preferred_element_type=jnp.float32)
+        re_b = jnp.dot(chunks, cos_r, preferred_element_type=jnp.float32)
+        im_a = jnp.dot(chunks, sin_l, preferred_element_type=jnp.float32)
+        im_b = jnp.dot(chunks, sin_r, preferred_element_type=jnp.float32)
+        re = re_a[:t] + pltpu.roll(re_b, t, 0)[:t]
+        im = im_a[:t] + pltpu.roll(im_b, t, 0)[:t]
+        amp = jnp.sqrt(re * re + im * im)
+        out_ref[r, :, :] = jnp.log(amp + epsilon) * inv_normalizer
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -77,10 +86,13 @@ def log_spectrogram_pallas(audio: jax.Array, frame_length: int,
 
     # TPU block shapes need a sublane-multiple of rows; pad the batch to
     # _ROWS and slice the padding back off (silence rows are harmless:
-    # log(0+eps) is finite).
+    # log(0+eps) is finite).  The chunk view is materialized by XLA
+    # outside the kernel — Mosaic cannot relayout a lane split.
     b_pad = -(-b // _ROWS) * _ROWS
     if b_pad != b:
         audio = jnp.pad(audio, ((0, b_pad - b), (0, 0)))
+    usable = (num_frames + 1) * step_size
+    chunks = audio[:, :usable].reshape(b_pad, num_frames + 1, step_size)
 
     kernel = functools.partial(
         _kernel, num_frames=num_frames, step_size=step_size,
@@ -91,8 +103,8 @@ def log_spectrogram_pallas(audio: jax.Array, frame_length: int,
                                        jnp.float32),
         grid=(b_pad // _ROWS,),
         in_specs=[
-            pl.BlockSpec((_ROWS, l_buf), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, num_frames + 1, step_size),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((frame_length, bins), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((frame_length, bins), lambda i: (0, 0),
@@ -102,5 +114,5 @@ def log_spectrogram_pallas(audio: jax.Array, frame_length: int,
                                lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(audio, jnp.asarray(cos_b), jnp.asarray(sin_b))
+    )(chunks, jnp.asarray(cos_b), jnp.asarray(sin_b))
     return out[:b]
