@@ -53,12 +53,19 @@ def _kernel(chunks_ref, cos_ref, sin_ref, out_ref, *, num_frames: int,
     t = num_frames
     cos_l, cos_r = cos_ref[:step_size, :], cos_ref[step_size:, :]
     sin_l, sin_r = sin_ref[:step_size, :], sin_ref[step_size:, :]
+    # HIGHEST always: the DFT sum cancels catastrophically in quiet bins
+    # under one-pass bf16 (same rule as the XLA matmul path, ops/stft.py)
+    hi = jax.lax.Precision.HIGHEST
     for r in range(_ROWS):
         chunks = chunks_ref[r]
-        re_a = jnp.dot(chunks, cos_l, preferred_element_type=jnp.float32)
-        re_b = jnp.dot(chunks, cos_r, preferred_element_type=jnp.float32)
-        im_a = jnp.dot(chunks, sin_l, preferred_element_type=jnp.float32)
-        im_b = jnp.dot(chunks, sin_r, preferred_element_type=jnp.float32)
+        re_a = jnp.dot(chunks, cos_l, preferred_element_type=jnp.float32,
+                       precision=hi)
+        re_b = jnp.dot(chunks, cos_r, preferred_element_type=jnp.float32,
+                       precision=hi)
+        im_a = jnp.dot(chunks, sin_l, preferred_element_type=jnp.float32,
+                       precision=hi)
+        im_b = jnp.dot(chunks, sin_r, preferred_element_type=jnp.float32,
+                       precision=hi)
         re = re_a[:t] + pltpu.roll(re_b, t, 0)[:t]
         im = im_a[:t] + pltpu.roll(im_b, t, 0)[:t]
         amp = jnp.sqrt(re * re + im * im)
