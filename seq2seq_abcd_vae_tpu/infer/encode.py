@@ -119,7 +119,14 @@ class Encoder(Learner):
                        epsilon: float, normalizer: float, mode: str = "probs",
                        batch_size: int = 1) -> None:
         """Streamed long-format CSV (abcd encode variants,
-        encode.py:38-55)."""
+        encode.py:38-55).
+
+        The row stream is byte-identical to the reference's
+        DataFrame.melt(+merge).to_csv chain, but assembled directly
+        (precomputed per-segment annotation suffixes + repr-formatted
+        float32 values): the pandas chain dominates end-to-end encode
+        wall time at K=128 (tests/test_infer_decode.py pins byte
+        equality against the pandas formulation)."""
         value_col = {"probs": "prob", "logits": "logit",
                      "features": "feature_value"}[mode]
         var_col = "category_ix" if mode == "probs" else "dimension"
@@ -132,21 +139,29 @@ class Encoder(Learner):
                 columns=["onset_ix", "offset_ix", "length"])
         else:
             df_ann = None
-        for batch, values in self._pipelined(dataloader, statics, mode):
-            df_encoded = pd.DataFrame(values)
-            df_encoded.loc[:, "data_ix"] = list(batch.ixs)
-            df_encoded = df_encoded.melt(id_vars=["data_ix"],
-                                         var_name=var_col,
-                                         value_name=value_col)
-            if df_ann is not None:
-                df_encoded = df_encoded.merge(df_ann, how="left",
-                                              left_on="data_ix",
-                                              right_index=True)
-            if os.path.isfile(save_path):
-                df_encoded.to_csv(save_path, index=False, mode="a",
-                                  header=False)
-            else:
-                df_encoded.to_csv(save_path, index=False)
+        header = ["data_ix", var_col, value_col]
+        suffix = {}
+        if df_ann is not None:
+            header += [str(c) for c in df_ann.columns]
+            # pandas formats the annotation cells; reuse it once per row
+            # so merged text matches the melt+merge+to_csv output exactly
+            csv_rows = df_ann.to_csv(header=False, index=True).splitlines()
+            for line in csv_rows:
+                ix, rest = line.split(",", 1)
+                suffix[int(ix)] = "," + rest
+        with open(save_path, "w") as f:
+            f.write(",".join(header) + "\n")
+            for batch, values in self._pipelined(dataloader, statics,
+                                                 mode):
+                ixs = list(batch.ixs)
+                sfx = ([suffix[int(ix)] for ix in ixs] if suffix
+                       else [""] * len(ixs))
+                lines = []
+                for var in range(values.shape[1]):
+                    col = values[:, var]
+                    lines += ["%s,%d,%s%s" % (ix, var, v, s)
+                              for ix, v, s in zip(ixs, col, sfx)]
+                f.write("\n".join(lines) + "\n")
 
     def encode_dataset_params(self, dataset, frontend: FrontendSpec,
                               epsilon: float, normalizer: float,

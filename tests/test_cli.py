@@ -153,3 +153,38 @@ def test_resume_via_cli(abcd_run, toy):
     log = open(abcd_run / "history.log").read()
     assert "LEARNING RETRIEVED." in log
     assert "To be restarted from the beginning of epoch #: 3" in log
+
+
+def test_encode_csv_bytes_match_pandas_chain(abcd_run, toy, tmp_path):
+    """The direct-writer CSV must be byte-identical to the reference's
+    DataFrame.melt(+merge).to_csv formulation (encode.py:46-55)."""
+    from seq2seq_abcd_vae_tpu.data.annotations import AnnotationParser
+    from seq2seq_abcd_vae_tpu.data.batching import DataLoader, FrontendSpec
+    from seq2seq_abcd_vae_tpu.infer.encode import Encoder
+
+    enc = Encoder(str(abcd_run / "checkpoint.pt"))
+    parser = AnnotationParser(str(toy), str(toy / "ann.csv"))
+    ds = parser.get_data()
+    fe = FrontendSpec(128, 64)
+    fast = tmp_path / "fast.csv"
+    enc.encode_dataset(ds, str(fast), fe, 2.0 ** -15, 11.0, mode="probs",
+                       batch_size=3)
+
+    # the pandas formulation, written independently here
+    statics = enc._statics(fe, 2.0 ** -15, 11.0)
+    dl = DataLoader(ds, fe, batch_size=3, pad_to_batch_size=False)
+    df_ann = ds.df_annotation.drop(columns=["onset_ix", "offset_ix",
+                                            "length"])
+    slow = tmp_path / "slow.csv"
+    for batch, values in enc._pipelined(dl, statics, "probs"):
+        df = pd.DataFrame(values)
+        df.loc[:, "data_ix"] = list(batch.ixs)
+        df = df.melt(id_vars=["data_ix"], var_name="category_ix",
+                     value_name="prob")
+        df = df.merge(df_ann, how="left", left_on="data_ix",
+                      right_index=True)
+        if os.path.isfile(slow):
+            df.to_csv(slow, index=False, mode="a", header=False)
+        else:
+            df.to_csv(slow, index=False)
+    assert fast.read_bytes() == slow.read_bytes()
