@@ -201,6 +201,15 @@ def run_rnn_layer_bidir(rnn_type: str, p_fwd: dict, p_bwd: dict,
     xp = jnp.stack([xp_f, xp_b], axis=1)                     # (T, 2, B, G)
     mask_t = jnp.swapaxes(mask, 0, 1)[..., None]             # (T, B, 1)
     m = jnp.stack([mask_t, jnp.flip(mask_t, 0)], axis=1)     # (T, 2, B, 1)
+    if rnn_type == "LSTM" and resolved_backend() == "pallas":
+        from ..ops import lstm_pallas
+        outs, h_n, c_n = lstm_pallas.lstm_layer_bidir(
+            xp, m, stacked["w_hh"], stacked["b_hh"],
+            interpret=jax.default_backend() != "tpu",
+            precision=kernel_precision())
+        outs_f = jnp.swapaxes(outs[:, 0], 0, 1)
+        outs_b = jnp.swapaxes(jnp.flip(outs[:, 1], 0), 0, 1)
+        return outs_f, outs_b, [(h_n[0], c_n[0]), (h_n[1], c_n[1])]
     h0 = jnp.zeros((2, b, hidden), x.dtype)
     c0 = jnp.zeros((2, b, hidden), x.dtype)
 

@@ -281,3 +281,212 @@ def lstm_layer(xp, mask, w_hh, b_hh, interpret=False, precision=None):
     """
     return _lstm_layer_cvjp(xp, mask.astype(xp.dtype), w_hh, b_hh,
                             interpret, precision)
+
+
+# ---------------------------------------------------------------------------
+# Stacked-direction (bidirectional) layer: both directions' time loops in
+# ONE kernel — two independent pallas calls would double the sequential
+# step count; here each grid step advances forward position s and reverse
+# position T-1-s together (models/rnn.run_rnn_layer_bidir semantics; the
+# caller passes direction-1 streams already time-flipped).
+# ---------------------------------------------------------------------------
+
+
+def _fwd2_kernel(xp_ref, mask_ref, w_ref, b_ref, out_ref, cs_ref, hn_ref,
+                 cn_ref, h_scr, c_scr, *, precision=None):
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    for d in range(2):
+        h = h_scr[d]
+        c = c_scr[d]
+        gates = (xp_ref[0, d] + jnp.dot(h, w_ref[d],
+                                        preferred_element_type=jnp.float32,
+                                        precision=precision)
+                 + b_ref[d])
+        hidden = h.shape[-1]
+        i = jax.nn.sigmoid(gates[:, :hidden])
+        f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+        o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+        c2 = f * c + i * g
+        h2 = o * jnp.tanh(c2)
+        m = mask_ref[0, d]
+        h = jnp.where(m > 0, h2, h)
+        c = jnp.where(m > 0, c2, c)
+        h_scr[d] = h
+        c_scr[d] = c
+        out_ref[0, d] = h
+        cs_ref[0, d] = c
+
+        @pl.when(t == nt - 1)
+        def _():
+            hn_ref[d] = h
+            cn_ref[d] = c
+
+
+def _bwd2_kernel(xp_ref, mask_ref, w_ref, b_ref, hprev_ref, cprev_ref,
+                 c_ref, dout_ref, dhn_ref, dcn_ref,
+                 dxp_ref, dw_ref, db_ref, dh_scr, dc_scr, *,
+                 precision=None):
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        dh_scr[:] = dhn_ref[:, :, :]
+        dc_scr[:] = dcn_ref[:, :, :]
+        dw_ref[:, :, :] = jnp.zeros_like(dw_ref)
+        db_ref[:, :, :] = jnp.zeros_like(db_ref)
+
+    for d in range(2):
+        h_prev = hprev_ref[0, d]
+        c_prev = cprev_ref[0, d]
+        c_new = c_ref[0, d]
+        m = mask_ref[0, d]
+        gates = (xp_ref[0, d] + jnp.dot(h_prev, w_ref[d],
+                                        preferred_element_type=jnp.float32,
+                                        precision=precision)
+                 + b_ref[d])
+        hidden = h_prev.shape[-1]
+        i = jax.nn.sigmoid(gates[:, :hidden])
+        f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+        o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+        c2 = jnp.where(m > 0, c_new, f * c_prev + i * g)
+        tanh_c2 = jnp.tanh(c2)
+
+        dh = dh_scr[d] + dout_ref[0, d]
+        dc = dc_scr[d]
+        dh_step = jnp.where(m > 0, dh, 0.0)
+        dc_step = jnp.where(m > 0, dc, 0.0)
+        do = dh_step * tanh_c2
+        dc2 = dc_step + dh_step * o * (1.0 - tanh_c2 * tanh_c2)
+        df = dc2 * c_prev
+        di = dc2 * g
+        dg = dc2 * i
+        dz = jnp.concatenate(
+            [di * i * (1.0 - i), df * f * (1.0 - f), dg * (1.0 - g * g),
+             do * o * (1.0 - o)], axis=-1)
+        dh_prev = (jnp.where(m > 0, 0.0, dh)
+                   + jnp.dot(dz, w_ref[d].T,
+                             preferred_element_type=jnp.float32,
+                             precision=precision))
+        dc_prev = jnp.where(m > 0, dc2 * f, dc)
+        dxp_ref[0, d] = dz
+        dw_ref[d] += jnp.dot(h_prev.T, dz,
+                             preferred_element_type=jnp.float32,
+                             precision=precision)
+        db_ref[d] += jnp.sum(dz, axis=0, keepdims=True)
+        dh_scr[d] = dh_prev
+        dc_scr[d] = dc_prev
+
+
+def _fwd2_call(xp, mask_f, w_hh, b_hh, interpret, precision):
+    t, two, b, g = xp.shape
+    hidden = w_hh.shape[1]
+    b_row = b_hh.reshape(2, 1, g)
+    res2 = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                    memory_space=pltpu.VMEM)
+    stream = lambda shp: pl.BlockSpec(shp, lambda i: (i,) + (0,) *
+                                      (len(shp) - 1),
+                                      memory_space=pltpu.VMEM)
+    outs, cs, h_n, c_n = pl.pallas_call(
+        functools.partial(_fwd2_kernel, precision=precision),
+        grid=(t,),
+        in_specs=[stream((1, 2, b, g)), stream((1, 2, b, 1)),
+                  res2((2, hidden, g)), res2((2, 1, g))],
+        out_specs=[stream((1, 2, b, hidden)), stream((1, 2, b, hidden)),
+                   res2((2, b, hidden)), res2((2, b, hidden))],
+        out_shape=[jax.ShapeDtypeStruct((t, 2, b, hidden), xp.dtype),
+                   jax.ShapeDtypeStruct((t, 2, b, hidden), xp.dtype),
+                   jax.ShapeDtypeStruct((2, b, hidden), xp.dtype),
+                   jax.ShapeDtypeStruct((2, b, hidden), xp.dtype)],
+        scratch_shapes=[pltpu.VMEM((2, b, hidden), jnp.float32),
+                        pltpu.VMEM((2, b, hidden), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, mask_f, w_hh, b_row)
+    return outs, cs, h_n, c_n
+
+
+def _bwd2_call(xp, mask_f, w_hh, b_hh, outs, cs, douts, dh_n, dc_n,
+               interpret, precision):
+    t, two, b, g = xp.shape
+    hidden = w_hh.shape[1]
+    b_row = b_hh.reshape(2, 1, g)
+    zeros_state = jnp.zeros((1, 2, b, hidden), xp.dtype)
+    h_prev = jnp.concatenate([zeros_state, outs[:-1]], axis=0)
+    c_prev = jnp.concatenate([zeros_state, cs[:-1]], axis=0)
+    res2 = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                    memory_space=pltpu.VMEM)
+    rev = lambda shp: pl.BlockSpec(shp, lambda i: (t - 1 - i,) + (0,) *
+                                   (len(shp) - 1),
+                                   memory_space=pltpu.VMEM)
+    dxp, dw, db = pl.pallas_call(
+        functools.partial(_bwd2_kernel, precision=precision),
+        grid=(t,),
+        in_specs=[rev((1, 2, b, g)), rev((1, 2, b, 1)),
+                  res2((2, hidden, g)), res2((2, 1, g)),
+                  rev((1, 2, b, hidden)), rev((1, 2, b, hidden)),
+                  rev((1, 2, b, hidden)), rev((1, 2, b, hidden)),
+                  res2((2, b, hidden)), res2((2, b, hidden))],
+        out_specs=[rev((1, 2, b, g)), res2((2, hidden, g)),
+                   res2((2, 1, g))],
+        out_shape=[jax.ShapeDtypeStruct((t, 2, b, g), xp.dtype),
+                   jax.ShapeDtypeStruct((2, hidden, g), xp.dtype),
+                   jax.ShapeDtypeStruct((2, 1, g), xp.dtype)],
+        scratch_shapes=[pltpu.VMEM((2, b, hidden), jnp.float32),
+                        pltpu.VMEM((2, b, hidden), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, mask_f, w_hh, b_row, h_prev, c_prev, cs, douts, dh_n, dc_n)
+    return dxp, dw, db.reshape(2, -1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _lstm_bidir_cvjp(xp, mask_f, w_hh, b_hh, interpret, precision):
+    outs, cs, h_n, c_n = _fwd2_call(xp, mask_f, w_hh, b_hh, interpret,
+                                    precision)
+    return outs, h_n, c_n
+
+
+def _lstm_bidir_fwd(xp, mask_f, w_hh, b_hh, interpret, precision):
+    outs, cs, h_n, c_n = _fwd2_call(xp, mask_f, w_hh, b_hh, interpret,
+                                    precision)
+    return (outs, h_n, c_n), (xp, mask_f, w_hh, b_hh, outs, cs)
+
+
+def _lstm_bidir_bwd(interpret, precision, residuals, grads):
+    xp, mask_f, w_hh, b_hh, outs, cs = residuals
+    douts, dh_n, dc_n = grads
+    dxp, dw, db = _bwd2_call(xp, mask_f, w_hh, b_hh, outs, cs, douts,
+                             dh_n, dc_n, interpret, precision)
+    return dxp, jnp.zeros_like(mask_f), dw, db
+
+
+_lstm_bidir_cvjp.defvjp(_lstm_bidir_fwd, _lstm_bidir_bwd)
+
+
+def lstm_layer_bidir(xp, mask, w_hh, b_hh, interpret=False,
+                     precision=None):
+    """Both directions of a masked LSTM layer in one kernel.
+
+    Args:
+      xp: (T, 2, B, 4H) projected inputs; direction 1 already
+        time-flipped (run_rnn_layer_bidir layout).
+      mask: (T, 2, B, 1) validity (any dtype), direction 1 flipped.
+      w_hh: (2, H, 4H); b_hh: (2, 4H).
+
+    Returns (outs (T, 2, B, H) masked per-step carries, h_n (2, B, H),
+    c_n (2, B, H)) — identical to the fused scan in
+    models/rnn.run_rnn_layer_bidir.
+    """
+    return _lstm_bidir_cvjp(xp, mask.astype(xp.dtype), w_hh, b_hh,
+                            interpret, precision)

@@ -85,3 +85,63 @@ def test_zero_length_row(rng):
                                             params["b_hh"], interpret=True)
     np.testing.assert_array_equal(np.asarray(outs)[:, -1], 0.0)
     np.testing.assert_array_equal(np.asarray(h_n)[-1], 0.0)
+
+
+def _bidir_setup(rng, t=7, b=3, in_size=5, hidden=8):
+    p_f = init.rnn_gate_params(jax.random.PRNGKey(1), in_size, hidden, 4)
+    p_b = init.rnn_gate_params(jax.random.PRNGKey(2), in_size, hidden, 4)
+    x = jnp.asarray(rng.normal(size=(b, t, in_size)).astype(np.float32))
+    lengths = jnp.asarray([t, 4, 2][:b], jnp.int32)
+    mask = rnn_mod.lengths_to_mask(lengths, t)
+    return p_f, p_b, x, mask
+
+
+def _run_bidir(p_f, p_b, x, mask, backend):
+    import os
+
+    from seq2seq_abcd_vae_tpu.utils import backend_select
+    old = os.environ.get("SEQ2SEQ_RNN_BACKEND")
+    os.environ["SEQ2SEQ_RNN_BACKEND"] = backend
+    backend_select.resolve_rnn_backend.cache_clear()
+    try:
+        return rnn_mod.run_rnn_layer_bidir("LSTM", p_f, p_b, x, mask)
+    finally:
+        if old is None:
+            del os.environ["SEQ2SEQ_RNN_BACKEND"]
+        else:
+            os.environ["SEQ2SEQ_RNN_BACKEND"] = old
+        backend_select.resolve_rnn_backend.cache_clear()
+
+
+def test_bidir_forward_parity(rng):
+    p_f, p_b, x, mask = _bidir_setup(rng)
+    sf, sb, sfin = _run_bidir(p_f, p_b, x, mask, "scan")
+    kf, kb, kfin = _run_bidir(p_f, p_b, x, mask, "pallas")
+    np.testing.assert_allclose(np.asarray(kf), np.asarray(sf), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(kb), np.asarray(sb), rtol=1e-5,
+                               atol=1e-6)
+    for (sh, sc), (kh, kc) in zip(sfin, kfin):
+        np.testing.assert_allclose(np.asarray(kh), np.asarray(sh),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(kc), np.asarray(sc),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_bidir_gradient_parity(rng):
+    p_f, p_b, x, mask = _bidir_setup(rng)
+
+    def loss(backend, p_f, p_b, x):
+        of, ob, fin = _run_bidir(p_f, p_b, x, mask, backend)
+        (hf, cf), (hb, cb) = fin
+        return (jnp.sum(of * jnp.tanh(ob)) + jnp.sum(hf * hb)
+                + jnp.sum(jnp.tanh(cf) + cb))
+
+    g_scan = jax.grad(lambda *a: loss("scan", *a), argnums=(0, 1, 2))(
+        p_f, p_b, x)
+    g_kern = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 2))(
+        p_f, p_b, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_scan),
+                    jax.tree_util.tree_leaves(g_kern)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=1e-5)
