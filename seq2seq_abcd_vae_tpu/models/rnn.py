@@ -201,7 +201,13 @@ def run_rnn_layer_bidir(rnn_type: str, p_fwd: dict, p_bwd: dict,
     xp = jnp.stack([xp_f, xp_b], axis=1)                     # (T, 2, B, G)
     mask_t = jnp.swapaxes(mask, 0, 1)[..., None]             # (T, B, 1)
     m = jnp.stack([mask_t, jnp.flip(mask_t, 0)], axis=1)     # (T, 2, B, 1)
-    if rnn_type == "LSTM" and resolved_backend() == "pallas":
+    # The stacked-direction kernel is opt-in here (SEQ2SEQ_ENCODER_BACKEND
+    # =pallas): it halves the sequential depth vs two per-direction
+    # kernel calls, but measured throughput-neutral vs this fused scan on
+    # the attached chip (bench A/B), so the scan keeps the default
+    # encoder trajectory.
+    enc_backend = os.environ.get("SEQ2SEQ_ENCODER_BACKEND", "scan")
+    if rnn_type == "LSTM" and enc_backend == "pallas":
         from ..ops import lstm_pallas
         outs, h_n, c_n = lstm_pallas.lstm_layer_bidir(
             xp, m, stacked["w_hh"], stacked["b_hh"],

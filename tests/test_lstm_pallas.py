@@ -99,18 +99,15 @@ def _bidir_setup(rng, t=7, b=3, in_size=5, hidden=8):
 def _run_bidir(p_f, p_b, x, mask, backend):
     import os
 
-    from seq2seq_abcd_vae_tpu.utils import backend_select
-    old = os.environ.get("SEQ2SEQ_RNN_BACKEND")
-    os.environ["SEQ2SEQ_RNN_BACKEND"] = backend
-    backend_select.resolve_rnn_backend.cache_clear()
+    old = os.environ.get("SEQ2SEQ_ENCODER_BACKEND")
+    os.environ["SEQ2SEQ_ENCODER_BACKEND"] = backend
     try:
         return rnn_mod.run_rnn_layer_bidir("LSTM", p_f, p_b, x, mask)
     finally:
         if old is None:
-            del os.environ["SEQ2SEQ_RNN_BACKEND"]
+            del os.environ["SEQ2SEQ_ENCODER_BACKEND"]
         else:
-            os.environ["SEQ2SEQ_RNN_BACKEND"] = old
-        backend_select.resolve_rnn_backend.cache_clear()
+            os.environ["SEQ2SEQ_ENCODER_BACKEND"] = old
 
 
 def test_bidir_forward_parity(rng):
