@@ -182,10 +182,12 @@ def run_ours(wav_root, ann, args, work):
         "--mlp_hidden_size", str(args.hidden), "-N", "11.0", "-d",
         args.device, "-s", str(args.seed), "-p", str(args.patience),
         "--matmul_precision", args.matmul_precision,
-        "--batching_mode", "uniform",  # reference-exact batch draws
+        # reference uniform-draw semantics unless the ordering knob is on;
+        # passing both uniform AND --length_sorted_batches used to make the
+        # flag a silent no-op (Learner lets batching_mode win)
+        "--batching_mode",
+        "length_sorted" if args.length_sorted_batches else "uniform",
         "--prior_concentration", str(args.prior_concentration)]
-    if args.length_sorted_batches:
-        argv.append("--length_sorted_batches")
     if args.speaker_embed_dim:
         argv += ["--speaker_embed_dim", str(args.speaker_embed_dim)]
     if args.bidirectional_decoder:

@@ -39,7 +39,9 @@ def _tpu_extras(p: argparse.ArgumentParser) -> None:
                    help="Training batch composition: 'bucket_shuffled' "
                         "(default; shuffled within length buckets, "
                         "bucket-homogeneous batches, minimal padding), "
-                        "'uniform' (the reference's uniform draws), or "
+                        "'uniform' (the reference's uniform-draw semantics "
+                        "— uniform shuffle, end-consumed batches — with "
+                        "numpy RNG, not its literal torch draw sequence), or "
                         "'length_sorted' (global sort, = "
                         "--length_sorted_batches).")
     g.add_argument("--profile_dir", type=str, default=None,

@@ -136,7 +136,11 @@ class DataLoader:
         self.shuffle = shuffle
         self.pad_to_batch_size = pad_to_batch_size
         self.min_bucket = min_bucket
-        self.length_sorted = length_sorted or batching_mode == "length_sorted"
+        # An explicit batching_mode wins outright (same precedence as
+        # Learner.__init__); the legacy length_sorted kwarg only applies
+        # when no mode is given.
+        self.length_sorted = (batching_mode == "length_sorted"
+                              if batching_mode is not None else length_sorted)
         self.batching_mode = (batching_mode if batching_mode is not None
                               else ("length_sorted" if length_sorted
                                     else "uniform"))

@@ -33,6 +33,34 @@ from ..ops import stft as stft_ops
 from ..train.learner import Learner, StepStatics
 
 
+def _annotation_suffixes(df_ann: pd.DataFrame) -> dict:
+    """Map annotation index -> preformatted ``,cell1,cell2...`` CSV text.
+
+    The fast path splits one ``df.to_csv`` call on physical lines, which
+    is only valid when the index is integer (so ``line.split(',', 1)``
+    recovers it) and no cell embeds a newline (pandas quotes such cells
+    across physical lines).  Otherwise fall back to per-row ``to_csv`` —
+    pandas CSV formatting is cell-local, so the per-row output matches
+    the reference's melt+merge+to_csv chain byte-for-byte either way.
+    """
+    cells_safe = not any(
+        df_ann[c].astype(str).str.contains("[\r\n]", regex=True).any()
+        for c in df_ann.columns)
+    if pd.api.types.is_integer_dtype(df_ann.index.dtype) and cells_safe:
+        out = {}
+        for line in df_ann.to_csv(header=False, index=True).splitlines():
+            ix, rest = line.split(",", 1)
+            out[int(ix)] = "," + rest
+        return out
+    out = {}
+    for ix in df_ann.index:
+        row = df_ann.loc[[ix]].to_csv(header=False, index=False)
+        if row.endswith("\n"):
+            row = row[:-1]
+        out[ix] = "," + row
+    return out
+
+
 def rename_existing_file(filepath: str) -> None:
     """Keep a .prev chain instead of overwriting (encode.py:57-61)."""
     if os.path.isfile(filepath):
@@ -143,19 +171,16 @@ class Encoder(Learner):
         suffix = {}
         if df_ann is not None:
             header += [str(c) for c in df_ann.columns]
-            # pandas formats the annotation cells; reuse it once per row
+            # pandas formats the annotation cells; reuse them once per row
             # so merged text matches the melt+merge+to_csv output exactly
-            csv_rows = df_ann.to_csv(header=False, index=True).splitlines()
-            for line in csv_rows:
-                ix, rest = line.split(",", 1)
-                suffix[int(ix)] = "," + rest
+            suffix = _annotation_suffixes(df_ann)
         with open(save_path, "w") as f:
             f.write(",".join(header) + "\n")
             for batch, values in self._pipelined(dataloader, statics,
                                                  mode):
                 ixs = list(batch.ixs)
-                sfx = ([suffix[int(ix)] for ix in ixs] if suffix
-                       else [""] * len(ixs))
+                sfx = ([suffix[ix] if ix in suffix else suffix[int(ix)]
+                        for ix in ixs] if suffix else [""] * len(ixs))
                 lines = []
                 for var in range(values.shape[1]):
                     col = values[:, var]

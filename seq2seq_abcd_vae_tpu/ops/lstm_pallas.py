@@ -24,12 +24,14 @@ time; the encoder calls it once per direction).  Enable with
 SEQ2SEQ_RNN_BACKEND=pallas; parity with the scan path is tested in
 interpret mode (tests/test_lstm_pallas.py) and verified on hardware.
 
-NOTE on this container's tunneled TPU: every pallas_call invocation pays
-~0.5-1s of axon dispatch overhead regardless of shape (measured: B=512
-T=32 and T=512 both ~0.9s/call while the XLA scan runs the same layer in
-~10ms), so 'scan' remains the default backend here; on directly attached
-TPUs the kernel's VMEM-pinned weights remove T HBM weight reads per
-layer.
+NOTE on this container's tunneled TPU: the per-``pallas_call`` dispatch
+penalty is tunnel-dependent and has varied by orders of magnitude between
+sessions (round 1 measured ~0.5-1 s/call, making scan the winner; round 2
+measured 0.07-3 ms, making this kernel the winner).  The backend is
+therefore *measured at startup* by utils/backend_select.py rather than
+assumed — check ``backend_report()`` for the decision actually in effect.
+On directly attached TPUs the kernel's VMEM-pinned weights remove T HBM
+weight reads per layer.
 """
 
 from __future__ import annotations
