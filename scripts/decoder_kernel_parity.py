@@ -1,0 +1,100 @@
+"""On-hardware parity probe for the whole-loop decoder Pallas kernels.
+
+The LSTM and GRU decoder-loop kernels (ops/decoder_pallas.py) are
+unit-tested in interpret mode (CPU); Mosaic hardware rules (lane-split
+reshapes, offset concats, sublane multiples) only bite on a real TPU, so
+this probe runs the REAL compiled kernels through the normal
+models/decoder.py dispatch and compares losses, outputs, and parameter
+gradients against the scan path.  A silent mismatch here would corrupt
+training whenever backend auto-selection picks 'pallas'.
+
+Usage: python scripts/decoder_kernel_parity.py [B] [T] [H] [F] [CELLS]
+  CELLS: comma list, default "LSTM,GRU"
+Prints one JSON line per cell type with max-abs diffs and a pass flag.
+"""
+
+import json
+import os
+import sys
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+
+def run_cell(rnn_type: str, b: int, t: int, h: int, f: int):
+    import jax
+    import jax.numpy as jnp
+
+    from seq2seq_abcd_vae_tpu.models import decoder as dec
+    from seq2seq_abcd_vae_tpu.utils import backend_select
+
+    cfg = dec.DecoderConfig(output_size=f, rnn_hidden_size=h,
+                            mlp_hidden_size=h, feature_size=16,
+                            rnn_type=rnn_type)
+    params = dec.decoder_init(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(11)
+    feats = jnp.asarray(rng.normal(size=(b, 16)).astype(np.float32))
+    lengths = np.full((b,), t, np.int32)
+    lengths[1:] = rng.integers(2, t + 1, size=(b - 1,))
+    gt = jnp.asarray(rng.normal(size=(b, t, f)).astype(np.float32))
+    off = np.zeros((b, t), np.float32)
+    off[np.arange(b), lengths - 1] = 1.0
+    off = jnp.asarray(off)
+    lengths = jnp.asarray(lengths)
+
+    def losses(p, backend):
+        os.environ["SEQ2SEQ_RNN_BACKEND"] = backend
+        backend_select.resolve_rnn_backend.cache_clear()
+        out = dec.decoder_apply(
+            p, cfg, feats, lengths, t, ground_truth_out=gt,
+            ground_truth_offset=off, key=jax.random.PRNGKey(7),
+            deterministic=False, emission_mode="sample")
+        return out.emission_loss + out.offset_loss, out
+
+    results = {}
+    for backend in ("scan", "pallas"):
+        os.environ["SEQ2SEQ_RNN_BACKEND"] = backend
+        backend_select.resolve_rnn_backend.cache_clear()
+        vg = jax.jit(jax.value_and_grad(
+            lambda p: losses(p, backend)[0]))
+        loss, grads = vg(params)
+        _, out = losses(params, backend)
+        results[backend] = dict(
+            loss=float(loss), out=np.asarray(out.out),
+            grads=jax.tree.map(np.asarray, grads))
+
+    s, p = results["scan"], results["pallas"]
+    diffs = {"loss": abs(s["loss"] - p["loss"]) / (abs(s["loss"]) + 1e-9),
+             "out": float(np.max(np.abs(s["out"] - p["out"])))}
+    flat_s, _ = jax.tree_util.tree_flatten_with_path(s["grads"])
+    flat_p, _ = jax.tree_util.tree_flatten(p["grads"])
+    gmax = 0.0
+    for (path, a), bb in zip(flat_s, flat_p):
+        scale = float(np.max(np.abs(a))) + 1.0
+        gmax = max(gmax, float(np.max(np.abs(a - bb))) / scale)
+    diffs["grad_rel"] = gmax
+    ok = diffs["loss"] < 1e-4 and diffs["out"] < 5e-3 and gmax < 2e-3
+    return {"cell": rnn_type, "shape": [b, t, h, f], "pass": bool(ok),
+            "max_abs_diffs": {k: round(v, 8) for k, v in diffs.items()}}
+
+
+def main():
+    args = sys.argv[1:]
+    b = int(args[0]) if len(args) > 0 else 8
+    t = int(args[1]) if len(args) > 1 else 33
+    h = int(args[2]) if len(args) > 2 else 256
+    f = int(args[3]) if len(args) > 3 else 65
+    cells = (args[4] if len(args) > 4 else "LSTM,GRU").split(",")
+    import jax
+
+    platform = jax.devices()[0].platform
+    for cell in cells:
+        res = run_cell(cell, b, t, h, f)
+        res["platform"] = platform
+        print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

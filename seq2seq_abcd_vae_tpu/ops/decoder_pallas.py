@@ -18,10 +18,16 @@ WHOLE time loop as one Pallas program:
   self-feedback via the same presampled noise layout, masking freezes
   finished rows (packed "shrinking batch" parity, model.py:175-177).
 
-Scope: LSTM cell, isotropic-Gaussian emission (k=2 parameter vectors),
-sample-mode feedback, no input dropout — the hot default configuration.
-Other configurations (GRU/RNN/ESN cells, mean feedback, dropout,
+Scope: LSTM and GRU cells (the reference's first-class -R choices,
+model.py:53,295), isotropic-Gaussian emission (k=2 parameter vectors),
+sample-mode feedback, no input dropout — the hot configurations.
+Other configurations (RNN/ESN cells, mean feedback, dropout,
 bidirectional) use the scan path; see models/decoder.py dispatch.
+
+The GRU kernels keep b_ih and b_hh separate (torch GRU semantics: the
+candidate gate is tanh(x_n + b_ih_n + r * (h @ w_hh_n + b_hh_n)) — the
+recurrent bias rides INSIDE the reset product, model.py:295 via
+torch.nn.GRUCell).
 
 The backward kernel runs the adjoint in reverse grid order, recomputing
 each step's emission pipeline from the saved (h, c) trajectories, and
@@ -343,6 +349,300 @@ def _decoder_loop_bwd(interpret, precision, residuals, douts):
 
 
 _decoder_loop_cvjp.defvjp(_decoder_loop_fwd, _decoder_loop_bwd)
+
+
+# ---------------------------------------------------------------------------
+# GRU variant.  Differences from LSTM: 3 gates, no cell state, and the
+# recurrent bias must stay separate (the candidate gate multiplies the
+# recurrent pre-activation INCLUDING b_hh by the reset gate before adding
+# the input pre-activation — torch.nn.GRUCell semantics).
+# ---------------------------------------------------------------------------
+
+def _gru_fwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bih_ref,
+                    bhh_ref, b1_ref, w2m_ref, w2v_ref, b2_ref, wih_ref,
+                    h0_ref, out_ref, hs_ref, h_scr,
+                    *, hidden: int, m: int, precision=None):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:, :].astype(jnp.float32)
+
+    h = h_scr[:]
+    big = jnp.dot(h, wcat_ref[:, :], preferred_element_type=jnp.float32,
+                  precision=precision)
+    hp = big[:, :3 * hidden] + bhh_ref[:, :]
+    emh = jnp.tanh(big[:, 3 * hidden:] + b1_ref[:, :])
+    f_dim = w2m_ref.shape[1]
+    mean = (jnp.dot(emh[:, :m], w2m_ref[:, :],
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+            + b2_ref[:, :f_dim])
+    logvar = (jnp.dot(emh[:, m:], w2v_ref[:, :],
+                      preferred_element_type=jnp.float32,
+                      precision=precision)
+              + b2_ref[:, f_dim:])
+    x = mean + jnp.exp(0.5 * logvar) * noise_ref[0]
+    x = x * pmask_ref[0]  # zero first input per row
+    xp = (jnp.dot(x, wih_ref[:, :], preferred_element_type=jnp.float32,
+                  precision=precision)
+          + bih_ref[:, :])
+    r = jax.nn.sigmoid(xp[:, :hidden] + hp[:, :hidden])
+    z = jax.nn.sigmoid(xp[:, hidden:2 * hidden]
+                       + hp[:, hidden:2 * hidden])
+    n = jnp.tanh(xp[:, 2 * hidden:] + r * hp[:, 2 * hidden:])
+    h2 = (1.0 - z) * n + z * h
+    mt = mask_ref[0]
+    h = jnp.where(mt > 0, h2, h)
+    h_scr[:] = h
+    out_ref[0] = h2
+    hs_ref[0] = h
+
+
+def _gru_bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bih_ref,
+                    bhh_ref, b1_ref, w2m_ref, w2v_ref, b2_ref, wih_ref,
+                    hprev_ref, dout_ref,
+                    dwcat_ref, dbih_ref, dbhh_ref, db1_ref, dw2m_ref,
+                    dw2v_ref, db2_ref, dwih_ref, dh0_ref,
+                    dh_scr,
+                    *, hidden: int, m: int, precision=None):
+    s = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    @pl.when(s == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dwcat_ref[:, :] = jnp.zeros_like(dwcat_ref)
+        dbih_ref[:, :] = jnp.zeros_like(dbih_ref)
+        dbhh_ref[:, :] = jnp.zeros_like(dbhh_ref)
+        db1_ref[:, :] = jnp.zeros_like(db1_ref)
+        dw2m_ref[:, :] = jnp.zeros_like(dw2m_ref)
+        dw2v_ref[:, :] = jnp.zeros_like(dw2v_ref)
+        db2_ref[:, :] = jnp.zeros_like(db2_ref)
+        dwih_ref[:, :] = jnp.zeros_like(dwih_ref)
+
+    h_prev = hprev_ref[0].astype(jnp.float32)
+    mt = mask_ref[0]
+    pmt = pmask_ref[0]
+    eps = noise_ref[0]
+    f_dim = w2m_ref.shape[1]
+
+    # ---- forward recompute of this step
+    big = jnp.dot(h_prev, wcat_ref[:, :],
+                  preferred_element_type=jnp.float32, precision=precision)
+    hp = big[:, :3 * hidden] + bhh_ref[:, :]
+    emh = jnp.tanh(big[:, 3 * hidden:] + b1_ref[:, :])
+    mean = (jnp.dot(emh[:, :m], w2m_ref[:, :],
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+            + b2_ref[:, :f_dim])
+    logvar = (jnp.dot(emh[:, m:], w2v_ref[:, :],
+                      preferred_element_type=jnp.float32,
+                      precision=precision)
+              + b2_ref[:, f_dim:])
+    std = jnp.exp(0.5 * logvar)
+    x = (mean + std * eps) * pmt
+    xp = (jnp.dot(x, wih_ref[:, :], preferred_element_type=jnp.float32,
+                  precision=precision)
+          + bih_ref[:, :])
+    hn = hp[:, 2 * hidden:]
+    r = jax.nn.sigmoid(xp[:, :hidden] + hp[:, :hidden])
+    z = jax.nn.sigmoid(xp[:, hidden:2 * hidden]
+                       + hp[:, hidden:2 * hidden])
+    n = jnp.tanh(xp[:, 2 * hidden:] + r * hn)
+
+    # ---- adjoint of:  h2 = (1-z)*n + z*h_prev;  h = m ? h2 : h_prev
+    dh_carry = dh_scr[:]
+    dh2 = dout_ref[0] + jnp.where(mt > 0, dh_carry, 0.0)
+    dn = dh2 * (1.0 - z)
+    dz = dh2 * (h_prev - n)
+    dh_prev = jnp.where(mt > 0, 0.0, dh_carry) + dh2 * z
+    dnpre = dn * (1.0 - n * n)
+    dr = dnpre * hn
+    dhn = dnpre * r
+    dzpre = dz * z * (1.0 - z)
+    drpre = dr * r * (1.0 - r)
+    dxp = jnp.concatenate([drpre, dzpre, dnpre], axis=-1)
+    dhp = jnp.concatenate([drpre, dzpre, dhn], axis=-1)
+
+    dx = jnp.dot(dxp, wih_ref[:, :].T, preferred_element_type=jnp.float32,
+                 precision=precision)
+    dwih_ref[:, :] += jnp.dot(x.T, dxp, preferred_element_type=jnp.float32,
+                              precision=precision)
+    dbih_ref[:, :] += jnp.sum(dxp, axis=0, keepdims=True)
+    dbhh_ref[:, :] += jnp.sum(dhp, axis=0, keepdims=True)
+
+    dx = dx * pmt
+    dmean = dx
+    dlogvar = dx * 0.5 * std * eps
+    db2_ref[:, :f_dim] += jnp.sum(dmean, axis=0, keepdims=True)
+    db2_ref[:, f_dim:] += jnp.sum(dlogvar, axis=0, keepdims=True)
+    demh_m = jnp.dot(dmean, w2m_ref[:, :].T,
+                     preferred_element_type=jnp.float32,
+                     precision=precision)
+    demh_v = jnp.dot(dlogvar, w2v_ref[:, :].T,
+                     preferred_element_type=jnp.float32,
+                     precision=precision)
+    dw2m_ref[:, :] += jnp.dot(emh[:, :m].T, dmean,
+                              preferred_element_type=jnp.float32,
+                              precision=precision)
+    dw2v_ref[:, :] += jnp.dot(emh[:, m:].T, dlogvar,
+                              preferred_element_type=jnp.float32,
+                              precision=precision)
+    demh = jnp.concatenate([demh_m, demh_v], axis=-1)
+    dbig_em = demh * (1.0 - emh * emh)
+    db1_ref[:, :] += jnp.sum(dbig_em, axis=0, keepdims=True)
+
+    dbig = jnp.concatenate([dhp, dbig_em], axis=-1)
+    dh_prev = dh_prev + jnp.dot(dbig, wcat_ref[:, :].T,
+                                preferred_element_type=jnp.float32,
+                                precision=precision)
+    dwcat_ref[:, :] += jnp.dot(h_prev.T, dbig,
+                               preferred_element_type=jnp.float32,
+                               precision=precision)
+    dh_scr[:] = dh_prev
+
+    @pl.when(s == nt - 1)
+    def _():
+        dh0_ref[:, :] = dh_scr[:]
+
+
+def _gru_specs(b, f, hidden, m, g_all):
+    stream3 = lambda shp: pl.BlockSpec(shp, lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    res = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                   memory_space=pltpu.VMEM)
+    ins = [
+        stream3((1, b, f)),            # noise_prev
+        stream3((1, b, 1)),            # mask
+        stream3((1, b, 1)),            # prev_mask
+        res((hidden, g_all)),          # wcat
+        res((1, 3 * hidden)),          # b_ih
+        res((1, 3 * hidden)),          # b_hh
+        res((1, 2 * m)),               # b1
+        res((m, f)),                   # w2 mean
+        res((m, f)),                   # w2 logvar
+        res((1, 2 * f)),               # b2
+        res((f, 3 * hidden)),          # wih
+    ]
+    return ins, stream3, res
+
+
+def _gru_fwd_call(noise, mask, pmask, wcat, bih, bhh, b1, w2m, w2v, b2,
+                  wih, h0, interpret, precision):
+    t, b, f = noise.shape
+    hidden = h0.shape[1]
+    g_all = wcat.shape[1]
+    m = (g_all - 3 * hidden) // 2
+    ins, stream3, res = _gru_specs(b, f, hidden, m, g_all)
+    outs, hs = pl.pallas_call(
+        functools.partial(_gru_fwd_kernel, hidden=hidden, m=m,
+                          precision=precision),
+        grid=(t,),
+        in_specs=ins + [res((b, hidden))],
+        out_specs=[stream3((1, b, hidden)), stream3((1, b, hidden))],
+        out_shape=[jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+                   jax.ShapeDtypeStruct((t, b, hidden), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
+        interpret=interpret,
+    )(noise, mask, pmask, wcat, bih, bhh, b1, w2m, w2v, b2, wih, h0)
+    return outs, hs
+
+
+def _gru_bwd_call(noise, mask, pmask, wcat, bih, bhh, b1, w2m, w2v, b2,
+                  wih, h0, hs, douts, interpret, precision):
+    t, b, f = noise.shape
+    hidden = h0.shape[1]
+    g_all = wcat.shape[1]
+    m = (g_all - 3 * hidden) // 2
+    ins, stream3, res = _gru_specs(b, f, hidden, m, g_all)
+    h_prev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
+    rev3 = lambda shp: pl.BlockSpec(shp, lambda i: (t - 1 - i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    rev_ins = [
+        rev3((1, b, f)),               # noise_prev
+        rev3((1, b, 1)),               # mask
+        rev3((1, b, 1)),               # prev_mask
+    ] + ins[3:] + [
+        rev3((1, b, hidden)),          # h_prev
+        rev3((1, b, hidden)),          # dout
+    ]
+    out_specs = [
+        res((hidden, g_all)), res((1, 3 * hidden)), res((1, 3 * hidden)),
+        res((1, 2 * m)), res((m, f)), res((m, f)), res((1, 2 * f)),
+        res((f, 3 * hidden)), res((b, hidden)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(wcat.shape, jnp.float32),
+        jax.ShapeDtypeStruct((1, 3 * hidden), jnp.float32),
+        jax.ShapeDtypeStruct((1, 3 * hidden), jnp.float32),
+        jax.ShapeDtypeStruct((1, 2 * m), jnp.float32),
+        jax.ShapeDtypeStruct(w2m.shape, jnp.float32),
+        jax.ShapeDtypeStruct(w2v.shape, jnp.float32),
+        jax.ShapeDtypeStruct((1, 2 * f), jnp.float32),
+        jax.ShapeDtypeStruct(wih.shape, jnp.float32),
+        jax.ShapeDtypeStruct((b, hidden), jnp.float32),
+    ]
+    grads = pl.pallas_call(
+        functools.partial(_gru_bwd_kernel, hidden=hidden, m=m,
+                          precision=precision),
+        grid=(t,),
+        in_specs=rev_ins,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
+        interpret=interpret,
+    )(noise, mask, pmask, wcat, bih, bhh, b1, w2m, w2v, b2, wih,
+      h_prev, douts)
+    return grads
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13))
+def _gru_loop_cvjp(noise, mask, pmask, wcat, bih, bhh, b1, w2m, w2v, b2,
+                   wih, h0, interpret, precision):
+    outs, hs = _gru_fwd_call(noise, mask, pmask, wcat, bih, bhh, b1, w2m,
+                             w2v, b2, wih, h0, interpret, precision)
+    return outs
+
+
+def _gru_loop_fwd(noise, mask, pmask, wcat, bih, bhh, b1, w2m, w2v, b2,
+                  wih, h0, interpret, precision):
+    outs, hs = _gru_fwd_call(noise, mask, pmask, wcat, bih, bhh, b1, w2m,
+                             w2v, b2, wih, h0, interpret, precision)
+    return outs, (noise, mask, pmask, wcat, bih, bhh, b1, w2m, w2v, b2,
+                  wih, h0, hs)
+
+
+def _gru_loop_bwd(interpret, precision, residuals, douts):
+    (noise, mask, pmask, wcat, bih, bhh, b1, w2m, w2v, b2, wih, h0,
+     hs) = residuals
+    (dwcat, dbih, dbhh, db1, dw2m, dw2v, db2, dwih,
+     dh0) = _gru_bwd_call(noise, mask, pmask, wcat, bih, bhh, b1, w2m,
+                          w2v, b2, wih, h0, hs, douts, interpret,
+                          precision)
+    return (jnp.zeros_like(noise), jnp.zeros_like(mask),
+            jnp.zeros_like(pmask), dwcat, dbih.reshape(-1),
+            dbhh.reshape(-1), db1.reshape(-1), dw2m, dw2v,
+            db2.reshape(-1), dwih, dh0)
+
+
+_gru_loop_cvjp.defvjp(_gru_loop_fwd, _gru_loop_bwd)
+
+
+def gru_decoder_loop(noise_prev, mask, prev_mask, w_cat, b_ih, b_hh,
+                     b1_flat, w2_mean, w2_logvar, b2_flat, w_ih, h0,
+                     interpret: bool = False, precision=None):
+    """GRU analogue of ``decoder_loop``.
+
+    Same streaming layout; w_cat is (H, 3H + 2m), b_ih/b_hh stay separate
+    (3H,) because torch's GRU candidate gate is
+    tanh(x_n + b_ih_n + r * (h @ w_hh_n + b_hh_n)).  No cell state.
+    Returns outs (T, B, H), the PRE-mask candidate h2 per step.
+    """
+    return _gru_loop_cvjp(
+        noise_prev, mask, prev_mask, w_cat, b_ih.reshape(1, -1),
+        b_hh.reshape(1, -1), b1_flat.reshape(1, -1), w2_mean, w2_logvar,
+        b2_flat.reshape(1, -1), w_ih, h0, interpret, precision)
 
 
 def decoder_loop(noise_prev, mask, prev_mask, w_cat, bias, b1_flat,
