@@ -29,9 +29,11 @@ def get_save_dir(save_root: str, job_id_str: str) -> str:
 
 def main(variant: str, argv=None) -> None:
     parameters = flags.build_learning_parser(variant).parse_args(argv)
+    from ..parallel.distributed import (is_primary,
+                                        maybe_initialize_distributed)
+    maybe_initialize_distributed()  # no-op unless the multi-host env is set
     from ..utils import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
-
 
     save_root = parameters.save_root
     if save_root is None:
@@ -51,7 +53,8 @@ def main(variant: str, argv=None) -> None:
     # All wav files are assumed to share the first file's fs.
     fs = data_parser.get_sample_freq()
     num_speakers = data_parser.get_num_speakers()
-    if variant == "abcd" and num_speakers > 0 and speaker2ix is None:
+    if (variant == "abcd" and num_speakers > 0 and speaker2ix is None
+            and is_primary()):
         with open(speaker_coding_path, "w") as f:
             json.dump(data_parser.speaker2ix, f)
 

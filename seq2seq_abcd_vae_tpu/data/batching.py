@@ -71,10 +71,18 @@ class RawBatch:
     speakers: np.ndarray
     ixs: list
     bucket_frames: int
+    # multi-host only: audio holds just rows [lo, hi) of the global batch
+    # (num_frames/speakers stay global-size — they are metadata-cheap);
+    # None means audio is the full batch
+    local_rows: tuple | None = None
 
     @property
     def num_real(self) -> int:
         return len(self.ixs)
+
+    @property
+    def global_rows(self) -> int:
+        return self.num_frames.shape[0]
 
 
 @dataclass
@@ -117,7 +125,8 @@ class DataLoader:
                  batch_size: int = 1, shuffle: bool = False,
                  seed: int = 1111, pad_to_batch_size: bool = True,
                  min_bucket: int = 32, length_sorted: bool = False,
-                 num_buckets: int = 6, batching_mode: str | None = None):
+                 num_buckets: int = 6, batching_mode: str | None = None,
+                 process_shard: tuple | None = None):
         """batching_mode controls batch COMPOSITION:
         - 'uniform': reference semantics — batches drawn from a uniform
           shuffle, so one long segment drags the whole batch to the top
@@ -144,6 +153,22 @@ class DataLoader:
         self.batching_mode = (batching_mode if batching_mode is not None
                               else ("length_sorted" if length_sorted
                                     else "uniform"))
+        # multi-host: (process_id, num_processes).  Batch COMPOSITION is
+        # computed identically on every process (same seed -> same numpy
+        # draws); only this process's row block is materialized (wav
+        # decode + centering are the expensive part).  Requires
+        # pad_to_batch_size so every batch has the full static row count.
+        self.process_shard = process_shard
+        if process_shard is not None:
+            pid, n_proc = process_shard
+            if not pad_to_batch_size:
+                raise ValueError("process_shard requires pad_to_batch_size")
+            if batch_size % n_proc != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by process "
+                    f"count {n_proc}")
+            if not 0 <= pid < n_proc:
+                raise ValueError(f"process_shard {process_shard}")
         self._rng = np.random.default_rng(seed)
         self.bucket_edges = quantile_bucket_edges(
             self._frames_for_lengths(dataset.lengths_np),
@@ -237,31 +262,46 @@ class DataLoader:
         # length-descending within the batch (data_utils.py:81-82,169)
         pos = pos[np.argsort(-ds.lengths_np[pos], kind="stable")]
         ixs = [ds.index_labels[p] for p in pos]
-        segs = [ds.segment_raw_pos(p) for p in pos]
         lengths = ds.lengths_np[pos]
         frames = self._frames_for_lengths(lengths)
         bucket = self.bucket_for(int(frames.max()))
         b = (self.batch_size if self.pad_to_batch_size else len(ixs))
+        local_rows = None
+        if self.process_shard is None:
+            local_pos = pos
+            n_local_rows = b
+        else:
+            # materialize only this process's contiguous row block; the
+            # sharded global array is stitched in parallel/mesh.py
+            pid, n_proc = self.process_shard
+            rows_per = b // n_proc
+            lo, hi = pid * rows_per, (pid + 1) * rows_per
+            local_rows = (lo, hi)
+            local_pos = pos[lo:min(hi, len(pos))]
+            n_local_rows = rows_per
+        segs = [ds.segment_raw_pos(p) for p in local_pos]
         dtype = (np.int16 if all(s.dtype == np.int16 for s in segs)
                  else np.float32)
         segs = [s if s.dtype == dtype else s.astype(dtype) for s in segs]
-        audio = np.zeros((b, fe.buffer_len(bucket)), dtype)
-        row_need = int(lengths.max()) + 2 * fe.pad
-        if row_need > audio.shape[1]:  # guard for the native memcpy path
-            raise AssertionError(
-                f"batch row needs {row_need} samples but the bucket buffer "
-                f"holds {audio.shape[1]}")
+        audio = np.zeros((n_local_rows, fe.buffer_len(bucket)), dtype)
+        if len(segs):
+            row_need = (max(len(s) for s in segs) + 2 * fe.pad)
+            if row_need > audio.shape[1]:  # guard for the native memcpy
+                raise AssertionError(
+                    f"batch row needs {row_need} samples but the bucket "
+                    f"buffer holds {audio.shape[1]}")
         num_frames = np.zeros((b,), np.int32)
         speakers = np.full((b,), -1, np.int32)
         num_frames[:len(pos)] = frames
         speakers[:len(pos)] = ds.speakers_np[pos]
-        if not self._assemble_native(segs, fe, audio):
+        if segs and not self._assemble_native(segs, fe, audio):
             for i, seg in enumerate(segs):
                 if fe.centering:
                     center_pad_segment(seg, fe.pad, audio[i])
                 else:
                     audio[i, :len(seg)] = seg
-        return RawBatch(audio, num_frames, speakers, ixs, bucket)
+        return RawBatch(audio, num_frames, speakers, ixs, bucket,
+                        local_rows=local_rows)
 
     def _assemble_native(self, segs, fe: FrontendSpec,
                          audio: np.ndarray) -> bool:

@@ -40,6 +40,44 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def process_row_range(mesh: Mesh, global_rows: int) -> tuple[int, int]:
+    """The [lo, hi) slice of batch rows owned by this process.
+
+    Requires the mesh device order to be process-grouped (jax.devices()
+    default: devices sorted so each process's devices are contiguous),
+    so each process owns one contiguous row block.
+    """
+    procs = [d.process_index for d in mesh.devices.flat]
+    if procs != sorted(procs):
+        raise ValueError("mesh devices are not process-contiguous; "
+                         "build the mesh from jax.devices() order")
+    n_proc = jax.process_count()
+    if global_rows % mesh.size != 0:
+        raise ValueError(f"batch dim {global_rows} not divisible by mesh "
+                         f"size {mesh.size}")
+    rows_per_proc = global_rows // n_proc
+    pid = jax.process_index()
+    return pid * rows_per_proc, (pid + 1) * rows_per_proc
+
+
+def shard_batch_arrays_multihost(mesh: Mesh, global_rows: int, *local_arrays,
+                                 axis_name: str = "data"):
+    """Assemble global on-device batch arrays from process-local rows.
+
+    Each ``local_arrays[i]`` holds only this process's row block (see
+    ``process_row_range``); ``jax.make_array_from_process_local_data``
+    stitches the global jax.Array without any host gathering — the
+    cross-host exchange happens only where XLA inserts collectives.
+    """
+    sh = data_parallel_sharding(mesh, axis_name)
+    out = []
+    for a in local_arrays:
+        global_shape = (global_rows,) + a.shape[1:]
+        out.append(jax.make_array_from_process_local_data(sh, a,
+                                                          global_shape))
+    return tuple(out)
+
+
 def shard_batch_arrays(mesh: Mesh, *arrays, axis_name: str = "data"):
     """Place host arrays so axis 0 is split across the mesh.
 

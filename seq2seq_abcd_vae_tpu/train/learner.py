@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import functools
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as dataclass_replace
 from typing import Optional
 
 import jax
@@ -53,6 +53,11 @@ class StepStatics:
     epsilon: float
     normalizer: float
     stft_method: str = "fft"
+    # resolved kernel backend (scan|pallas): model code reads the live
+    # selector at trace time; this field's only job is to be part of the
+    # jit cache key so an epoch-boundary backend switch forces a retrace
+    # (utils/backend_select.py)
+    rnn_backend: str = "scan"
 
 
 def _frontend(statics: StepStatics, audio: jax.Array,
@@ -163,7 +168,8 @@ class Learner:
                  profile_dir: Optional[str] = None,
                  length_sorted_batches: bool = False,
                  batching_mode: Optional[str] = None):
-        self.retrieval, self.log_file_path = update_log_handler(save_dir)
+        self.retrieval, self.log_file_path = update_log_handler(
+            save_dir, primary=jax.process_index() == 0)
         self.save_dir = save_dir
         self.stft_method = stft_method
         if matmul_precision:
@@ -305,24 +311,42 @@ class Learner:
     # ------------------------------------------------------------------
     @staticmethod
     def _pick_device(device: str):
+        # local_devices: under multi-host execution jax.devices()[0] is
+        # process 0's device — non-addressable from other ranks; staging
+        # arrays must live on a device THIS process owns
         if device.startswith("cpu"):
-            return jax.devices("cpu")[0]
+            return jax.local_devices(backend="cpu")[0]
         if device.startswith("cuda"):
             # reference CLI accepts `-d cuda` (learning.py:360); map it to
             # the default accelerator with an explicit notice instead of
             # failing or silently ignoring it
             logger.info("Device 'cuda' requested; using the default "
                         "accelerator {dev} (this is the TPU build)."
-                        .format(dev=jax.devices()[0]))
-        return jax.devices()[0]
+                        .format(dev=jax.local_devices()[0]))
+        return jax.local_devices()[0]
 
     def _setup_mesh(self, num_data_partitions: Optional[int]) -> None:
         """Data-parallel mesh over segments (a capability the reference
         lacks; SURVEY.md section 2.4).  Params stay replicated; batches are
         sharded along axis 0; XLA inserts the gradient all-reduce over
-        ICI."""
+        ICI (and over DCN between processes when jax.distributed is
+        initialized — parallel/distributed.py)."""
         from ..parallel import mesh as mesh_mod
-        if num_data_partitions is not None and num_data_partitions > 1:
+        if jax.process_count() > 1:
+            # every process must participate in one global mesh; a
+            # partial mesh would deadlock the collectives
+            if (num_data_partitions is not None
+                    and num_data_partitions != len(jax.devices())):
+                raise ValueError(
+                    "--num_data_partitions must equal the global device "
+                    f"count ({len(jax.devices())}) under multi-host "
+                    "execution")
+            self.mesh = mesh_mod.make_mesh(None)
+            logger.info(
+                "Data-parallel mesh over {n} devices across {p} "
+                "processes.".format(n=self.mesh.size,
+                                    p=jax.process_count()))
+        elif num_data_partitions is not None and num_data_partitions > 1:
             self.mesh = mesh_mod.make_mesh(num_data_partitions)
             logger.info("Data-parallel mesh over {n} devices.".format(
                 n=self.mesh.size))
@@ -338,6 +362,13 @@ class Learner:
             return jax.device_put((batch.audio, batch.num_frames,
                                    batch.speakers), self.device)
         from ..parallel import mesh as mesh_mod
+        if batch.local_rows is not None:
+            # multi-host: this process materialized only its row block;
+            # stitch the global sharded arrays without host gathering
+            lo, hi = batch.local_rows
+            return mesh_mod.shard_batch_arrays_multihost(
+                self.mesh, batch.global_rows, batch.audio,
+                batch.num_frames[lo:hi], batch.speakers[lo:hi])
         return mesh_mod.shard_batch_arrays(self.mesh, batch.audio,
                                            batch.num_frames, batch.speakers)
 
@@ -346,8 +377,15 @@ class Learner:
             return
         from ..parallel import mesh as mesh_mod
         rep = mesh_mod.replicate(self.mesh)
-        self.params = jax.device_put(self.params, rep)
-        self.opt_state = jax.device_put(self.opt_state, rep)
+        tree = (self.params, self.opt_state)
+        if jax.process_count() > 1:
+            # cross-host device_put accepts host values, not arrays that
+            # live on one process's local device; the values are already
+            # identical on every process (same seed / same checkpoint)
+            tree = jax.tree.map(
+                lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
+                tree)
+        self.params, self.opt_state = jax.device_put(tree, rep)
 
     @property
     def latent_type(self) -> str:
@@ -355,9 +393,13 @@ class Learner:
 
     def _statics(self, frontend: FrontendSpec, epsilon: float,
                  normalizer: float) -> StepStatics:
+        from ..utils.backend_select import SELECTOR
         return StepStatics(self.model_cfg, frontend.frame_length,
                            frontend.step_size, frontend.window, epsilon,
-                           normalizer, self.stft_method)
+                           normalizer, self.stft_method,
+                           rnn_backend=(SELECTOR.current()
+                                        if self.device.platform != "cpu"
+                                        else "scan"))
 
     def _temperature(self) -> float:
         if self.latent_type != "abcd":
@@ -374,6 +416,11 @@ class Learner:
         one per batch (every dispatch pays tunnel latency)."""
         keys = jax.random.split(self.key, n + 1)
         self.key = keys[0]
+        if jax.process_count() > 1:
+            # per-batch keys must enter the global jit as replicated
+            # values, which a process-local device array cannot; host
+            # numpy (identical on every process — same seed chain) can
+            return np.asarray(keys[1:])
         return keys[1:]
 
     # ------------------------------------------------------------------
@@ -513,10 +560,13 @@ class Learner:
         # last partial batch runs at its true size (one extra compiled
         # program per bucket instead of up to B-1 wasted padding rows).
         pad_b = self.mesh is not None
+        shard = ((jax.process_index(), jax.process_count())
+                 if jax.process_count() > 1 else None)
         train_dataloader = DataLoader(train_dataset, frontend,
                                       batch_size=batch_size_train,
                                       shuffle=True, batching_mode=mode,
-                                      pad_to_batch_size=pad_b)
+                                      pad_to_batch_size=pad_b,
+                                      process_shard=shard)
         # eval order is loss-irrelevant (sum-reduced); group by length
         # for minimal padding unless exact reference iteration was asked
         valid_dataloader = DataLoader(valid_dataset, frontend,
@@ -524,7 +574,8 @@ class Learner:
                                       batching_mode=("uniform" if
                                                      mode == "uniform"
                                                      else "length_sorted"),
-                                      pad_to_batch_size=pad_b)
+                                      pad_to_batch_size=pad_b,
+                                      process_shard=shard)
         statics = self._statics(frontend, epsilon, data_normalizer)
 
         if self.retrieval:
@@ -583,6 +634,26 @@ class Learner:
 
         profiling = False
         for epoch in range(initial_epoch, num_epochs + 1):
+            if epoch > initial_epoch and self.device.platform != "cpu":
+                # The tunnel's pallas dispatch latency drifts within one
+                # session (BASELINE.md: 0.13-3.1 ms observed); re-probe
+                # with hysteresis at each epoch boundary and log the
+                # decision.  A switch changes statics.rnn_backend, so the
+                # next dispatch retraces onto the other kernel path.
+                from ..utils.backend_select import SELECTOR
+                prev_backend = statics.rnn_backend
+                choice = SELECTOR.maybe_reprobe(context=f"epoch {epoch}")
+                if SELECTOR.decisions:
+                    d = SELECTOR.decisions[-1]
+                    logger.info(
+                        "Kernel backend decision: {b} (dispatch {ms} ms)"
+                        "{sw}".format(
+                            b=d["backend"], ms=d["dispatch_ms"],
+                            sw=(" -- SWITCHED from %s" % prev_backend)
+                            if d["switched"] else ""))
+                if choice != prev_backend:
+                    statics = dataclass_replace(statics,
+                                                rnn_backend=choice)
             if self.profile_dir and epoch == initial_epoch + 1:
                 # Trace the second epoch (first is compile-dominated);
                 # the reference has no profiler at all (SURVEY.md section 5).
@@ -623,6 +694,10 @@ class Learner:
 
     # ------------------------------------------------------------------
     def save_model(self, epoch: int) -> None:
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # state is replicated bit-identically; process 0 owns the
+            # filesystem (parallel/distributed.py)
+            return
         latent_init = self.model_cfg.latent.pack_init_parameters()
         if self.latent_type == "abcd":
             latent_init["epoch_init_iter_counts"] = (
