@@ -4,25 +4,34 @@ repo's TPU-native stack, vs the measured CPU-PyTorch reference baseline.
 
 Workload = the reference's publication config (K=128, f=256, hidden 256,
 speaker_embed 256, batch 512, STFT 8ms/4ms, N=11) on a SELF-CONTAINED
-synthetic mixed-length corpus (scripts/synth_corpus.py: 512 distinct
-segments, 8 syllable classes, 0.1-0.5 s durations) — a realistic
-length distribution rather than 6 replicated toy segments.
-BENCH_WORKLOAD=toy reproduces the round-1 replicated-toy workload
-(requires /root/reference/toy_data).
+synthetic mixed-length corpus (scripts/synth_corpus.py: 4096 distinct
+segments, 8 syllable classes, 0.1-0.5 s durations) — a realistic length
+distribution, large enough (8x batch) that batch COMPOSITION policies
+actually engage.  BENCH_WORKLOAD=toy reproduces the round-1
+replicated-toy workload (requires the vendored toy fixture).
+
+Protocol: the tunneled TPU's dispatch overhead drifts minute-to-minute,
+so single timed rows are NOT comparable across runs (BASELINE.md).  The
+headline number is the MEDIAN over BENCH_ROUNDS interleaved
+scan/pallas chunk pairs run inside this one invocation; the per-backend
+medians ride in extra {scan_median, pallas_median, n_rounds} so the
+captured JSON is self-evidencing under drift.
 
 Prints ONE JSON line:
 {"metric": "train_segments_per_sec", "value": N, "unit": "segments/sec",
- "vs_baseline": N / reference_sps, "extra": {encode sps, backends,
- padding stats, ...}}
+ "vs_baseline": N / reference_sps, "extra": {per-backend medians, encode
+ sps, padding stats, backend decisions, ...}}
 
-Env knobs: BENCH_SEGMENTS, BENCH_BATCH_SIZE, BENCH_BATCHES,
-BENCH_MATMUL_PRECISION, BENCH_STFT_METHOD, BENCH_LENGTH_SORTED,
-BENCH_WORKLOAD, SEQ2SEQ_RNN_BACKEND (scan|pallas|auto),
-SEQ2SEQ_SCAN_UNROLL.
+Env knobs: BENCH_SEGMENTS (default 4096), BENCH_BATCH_SIZE (512),
+BENCH_BATCHES (chunk size, 16), BENCH_ROUNDS (A/B pairs, 3; 0 = single
+auto-backend chunk, round-2 protocol), BENCH_MATMUL_PRECISION,
+BENCH_STFT_METHOD, BENCH_LENGTH_SORTED, BENCH_WORKLOAD,
+SEQ2SEQ_RNN_BACKEND (scan|pallas|auto), SEQ2SEQ_SCAN_UNROLL.
 """
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -60,9 +69,10 @@ def make_workload(num_segments: int, work: str):
 
 
 def main():
-    num_segments = int(os.environ.get("BENCH_SEGMENTS", 512))
+    num_segments = int(os.environ.get("BENCH_SEGMENTS", 4096))
     batch_size = int(os.environ.get("BENCH_BATCH_SIZE", 512))
     timed_batches = int(os.environ.get("BENCH_BATCHES", 16))
+    n_rounds = int(os.environ.get("BENCH_ROUNDS", 3))
     precision = os.environ.get("BENCH_MATMUL_PRECISION", "default")
     stft_method = os.environ.get("BENCH_STFT_METHOD", "fft")
     length_sorted = os.environ.get("BENCH_LENGTH_SORTED") == "1"
@@ -103,19 +113,42 @@ def main():
     # partial batches run at their true row count (data/batching.py)
     loader = DataLoader(train, fe, batch_size=batch_size, shuffle=True,
                         batching_mode=bmode, pad_to_batch_size=False)
-    statics = learner._statics(fe, 2.0 ** -15, 11.0)
+    base_statics = learner._statics(fe, 2.0 ** -15, 11.0)
     learner.gradient_clip = 1.0
     learner._momentum = 0.0
     learner._tx = optim.make_optimizer(1.0, 0.0, 1.0)
     learner.opt_state = learner._tx.init(learner.params)
 
     import jax
+    from dataclasses import replace as dc_replace
+    from seq2seq_abcd_vae_tpu.utils import backend_select
+
+    on_cpu = jax.devices()[0].platform == "cpu"
+    auto_backend = base_statics.rnn_backend
+    forced = os.environ.get("SEQ2SEQ_RNN_BACKEND", "auto")
+    if forced in ("scan", "pallas"):
+        backends = [forced]
+    elif on_cpu or n_rounds <= 0:
+        backends = [auto_backend]
+    else:
+        backends = ["scan", "pallas"]
+
+    def statics_for(backend):
+        # force the selector so model code resolves `backend` at trace
+        # time; the statics field keys the jit cache per backend
+        os.environ["SEQ2SEQ_RNN_BACKEND"] = backend
+        backend_select.SELECTOR.reset()
+        return dc_replace(base_statics, rnn_backend=backend)
 
     params, opt_state = learner.params, learner.opt_state
-    keys = learner._epoch_keys(timed_batches + len(loader.dataset) + 4)
+    total_steps = (len(backends) * (len(loader) if hasattr(loader, "__len__")
+                                    else loader.get_num_batches())
+                   + len(backends) * max(1, n_rounds) * (timed_batches + 4)
+                   + 64)
+    keys = learner._epoch_keys(total_steps)
     kix = 0
 
-    def run_batch(batch, placed, params, opt_state):
+    def run_batch(batch, placed, params, opt_state, statics):
         nonlocal kix
         audio, num_frames, speakers = placed
         params, opt_state, metrics = _train_step(
@@ -125,38 +158,70 @@ def main():
         kix += 1
         return params, opt_state, metrics
 
-    # Warmup epoch: compiles every bucket shape.
-    for batch in loader:
-        params, opt_state, m = run_batch(batch, learner._place_batch(batch),
-                                         params, opt_state)
-    jax.block_until_ready(params)
+    # Warmup: one epoch per backend compiles every bucket shape on each
+    # kernel path (the persistent cache makes repeat invocations fast).
+    statics_by = {}
+    for b in backends:
+        statics_by[b] = statics_for(b)
+        for batch in loader:
+            params, opt_state, m = run_batch(
+                batch, learner._place_batch(batch), params, opt_state,
+                statics_by[b])
+        jax.block_until_ready(params)
 
-    # Timed: the pipelined steady state (async dispatch, prefetched
-    # transfers, one sync at the end) — how the Learner actually trains.
     def batches():
         while True:
             yield from loader
 
     it = batches()
-    # two untimed pipelined batches to absorb post-warmup retraces
-    batch = next(it)
-    placed = learner._place_batch(batch)
-    for _ in range(2):
-        params, opt_state, m = run_batch(batch, placed, params, opt_state)
-        batch = next(it)
-        placed = learner._place_batch(batch)
-    jax.block_until_ready(params)
 
-    t0 = time.perf_counter()
-    done = 0
-    for _ in range(timed_batches):
-        params, opt_state, m = run_batch(batch, placed, params, opt_state)
-        done += batch.num_real
+    def timed_chunk(statics, params, opt_state):
+        """Pipelined steady state (async dispatch, prefetched transfers,
+        one sync at the end) — how the Learner actually trains."""
+        # keep the env-forced backend consistent with `statics` so any
+        # late retrace (unseen bucket/row-count combo) resolves onto the
+        # same kernel path it is being timed as
+        os.environ["SEQ2SEQ_RNN_BACKEND"] = statics.rnn_backend
+        backend_select.SELECTOR.reset()
         batch = next(it)
         placed = learner._place_batch(batch)
-    jax.block_until_ready(params)  # wait for the last queued step
-    timed = time.perf_counter() - t0
-    train_sps = done / timed
+        for _ in range(2):  # absorb retraces, fill the pipeline
+            params, opt_state, m = run_batch(batch, placed, params,
+                                             opt_state, statics)
+            batch = next(it)
+            placed = learner._place_batch(batch)
+        jax.block_until_ready(params)
+        t0 = time.perf_counter()
+        done = 0
+        for _ in range(timed_batches):
+            params, opt_state, m = run_batch(batch, placed, params,
+                                             opt_state, statics)
+            done += batch.num_real
+            batch = next(it)
+            placed = learner._place_batch(batch)
+        jax.block_until_ready(params)
+        return done / (time.perf_counter() - t0), params, opt_state
+
+    # Interleaved A/B rounds: scan chunk then pallas chunk per round, so
+    # tunnel drift hits both backends symmetrically.
+    sps_by = {b: [] for b in backends}
+    for _ in range(max(1, n_rounds)):
+        for b in backends:
+            sps, params, opt_state = timed_chunk(statics_by[b], params,
+                                                 opt_state)
+            sps_by[b].append(round(sps, 2))
+
+    medians = {b: statistics.median(v) for b, v in sps_by.items()}
+    headline_backend = (auto_backend if auto_backend in medians
+                        else backends[0])
+    train_sps = medians[headline_backend]
+
+    # restore the pre-bench backend mode for the encode path
+    if forced in ("scan", "pallas", "auto"):
+        os.environ["SEQ2SEQ_RNN_BACKEND"] = forced
+    else:
+        os.environ.pop("SEQ2SEQ_RNN_BACKEND", None)
+    backend_select.SELECTOR.reset()
 
     # ------------------------------------------------------------------
     # Encode path (BASELINE.json names train AND encode segments/sec):
@@ -181,7 +246,6 @@ def main():
     encode_sps = len(full) / (time.perf_counter() - t0)
 
     # ------------------------------------------------------------------
-    from seq2seq_abcd_vae_tpu.utils.backend_select import backend_report
     stats_loader = DataLoader(train, fe, batch_size=batch_size,
                               shuffle=True, batching_mode=bmode,
                               pad_to_batch_size=False)
@@ -201,8 +265,11 @@ def main():
             vs = train_sps / ref_sps
 
     extra = {
+        "headline_backend": headline_backend,
+        "n_rounds": max(1, n_rounds) if len(backends) > 1 else 0,
         "encode_segments_per_sec": round(encode_sps, 2),
         "workload": os.environ.get("BENCH_WORKLOAD", "synthetic"),
+        "num_segments": num_segments,
         "stft_method": stft_method,
         "scan_unroll": os.environ.get("SEQ2SEQ_SCAN_UNROLL", "4"),
         "matmul_precision": precision,
@@ -212,7 +279,10 @@ def main():
         "frame_waste_frac": round(pad_stats["frame_waste_frac"], 4),
         "reference_sps": ref_sps,
     }
-    extra.update(backend_report())
+    for b in backends:
+        extra[f"{b}_median"] = medians[b]
+        extra[f"{b}_rounds"] = sps_by[b]
+    extra.update(backend_select.backend_report())
     print(json.dumps({"metric": "train_segments_per_sec",
                       "value": round(train_sps, 2),
                       "unit": "segments/sec",

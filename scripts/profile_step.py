@@ -74,6 +74,8 @@ def main():
     ap.add_argument("--ablate", action="store_true")
     ap.add_argument("--out", type=str, default=None,
                     help="also write the numbers to this JSON file")
+    ap.add_argument("--trace", type=str, default=None,
+                    help="write a jax.profiler trace of 3 steps here")
     args = ap.parse_args()
 
     jax.config.update("jax_default_matmul_precision", args.precision)
@@ -101,10 +103,29 @@ def main():
     b, t = args.batch, args.bucket
     buf = (t - 1) * 64 + 128
     rng = np.random.default_rng(0)
-    audio = (rng.normal(size=(b, buf)) * 1000).astype(np.float32)
+    audio_host = (rng.normal(size=(b, buf)) * 1000).astype(np.float32)
     nf = np.full((b,), t, np.int32)
     spk = (np.arange(b) % 2).astype(np.int32)
     key = jax.random.PRNGKey(0)
+
+    # Keep the timed inputs DEVICE-resident: with host numpy args every
+    # call re-transfers the audio (67 MB f32 at B=512/T=512) over the
+    # ~1.6 GB/s tunnel, conflating transfer with compute.  The Learner's
+    # real loop pipelines int16 transfers (data/batching.py), so device
+    # step time is the number the kernel work should be judged by; the
+    # transfer cost is measured separately below.
+    t0 = time.perf_counter()
+    audio = jax.device_put(audio_host)
+    jax.block_until_ready(audio)
+    transfer_s = time.perf_counter() - t0
+    audio_i16 = (audio_host * 0.01).astype(np.int16)
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.device_put(audio_i16))
+    transfer_i16_s = time.perf_counter() - t0
+    print(f"host->device audio transfer: f32 {transfer_s * 1e3:8.2f}ms  "
+          f"int16 {transfer_i16_s * 1e3:8.2f}ms  "
+          f"({audio_host.nbytes / 1e6:.1f} MB f32)")
+    nf, spk, key = jax.device_put((nf, spk, key))
 
     # _train_step donates params/opt_state; thread the returned state so
     # repeated timing calls never reuse a donated buffer
@@ -143,7 +164,17 @@ def main():
         "flops_per_step": flops,
         "mfu_bf16_peak": None if mfu is None else round(mfu, 5),
         "scan_unroll": os.environ.get("SEQ2SEQ_SCAN_UNROLL", "4"),
+        "transfer_f32_ms": round(transfer_s * 1e3, 3),
+        "transfer_i16_ms": round(transfer_i16_s * 1e3, 3),
     }
+
+    if args.trace:
+        # device-time breakdown: open with tensorboard or xprof
+        with jax.profiler.trace(args.trace):
+            for _ in range(3):
+                out = tr()
+            jax.block_until_ready(out)
+        print(f"profiler trace written to {args.trace}")
 
     if args.ablate:
         ev = timeit(lambda: _eval_step(params, audio, nf, spk, key, 512.0,
