@@ -81,7 +81,68 @@ def pair_matrix(tag: str, seeds):
     return out
 
 
+def wilson_ci(k: int, n: int, z: float = 1.96):
+    """Wilson score interval for a binomial proportion (robust at the
+    small n of seed sweeps, unlike the normal approximation)."""
+    if n == 0:
+        return (0.0, 1.0)
+    p = k / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = (z / denom) * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    return (max(0.0, center - half), min(1.0, center + half))
+
+
+def ignition_rates(tag: str, seeds):
+    """Commit ('ignition') rate per framework with binomial CIs.
+
+    A run commits when its final partition has >=2 effective clusters
+    (see effective_clusters).  At n=9 per side the round-2 comparison
+    (5/9 vs 3/9) could not separate the rates (overlapping CIs); this
+    report exists to make the phase-boundary claim a measured statement
+    at n~20 (VERDICT round-2 item 5).
+    """
+    out = {}
+    for side in ("ours", "ref"):
+        n = k = 0
+        detail = []
+        for seed in seeds:
+            o = load(tag, side, seed)
+            if not o or not o.get("clusters"):
+                continue
+            n += 1
+            lit = effective_clusters(o["clusters"]) >= 2
+            k += int(lit)
+            detail.append((seed, int(lit)))
+        lo, hi = wilson_ci(k, n)
+        out[side] = {"commits": k, "runs": n, "rate": round(k / n, 3)
+                     if n else None, "ci95": [round(lo, 3), round(hi, 3)],
+                     "detail": detail}
+        print("%s %s: %d/%d commit (rate %.2f, 95%% CI [%.2f, %.2f])"
+              % (tag, side, k, n, k / n if n else float("nan"), lo, hi))
+    if all(s in out for s in ("ours", "ref")):
+        o, r = out["ours"], out["ref"]
+        overlap = not (o["ci95"][1] < r["ci95"][0]
+                       or r["ci95"][1] < o["ci95"][0])
+        print("# CIs %s -> %s" % (
+            "overlap" if overlap else "are disjoint",
+            "no detectable rate difference at this n" if overlap
+            else "real ignition-rate gap"))
+    return out
+
+
 def main():
+    if sys.argv[1] == "--rates":
+        tag = sys.argv[2]
+        seeds = [int(s) for s in sys.argv[3:]]
+        if not seeds:
+            import glob as _g
+            seeds = sorted({int(p.rsplit("_s", 1)[1].split(".")[0])
+                            for p in _g.glob(os.path.join(
+                                REPO, "parity_runs",
+                                "*_%s_s*.json" % tag))})
+        ignition_rates(tag, seeds)
+        return
     if sys.argv[1] == "--matrix":
         tag = sys.argv[2]
         seeds = [int(s) for s in sys.argv[3:]] or [9999, 1111, 2222, 7777,
