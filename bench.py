@@ -122,6 +122,9 @@ def main():
     import jax
     from dataclasses import replace as dc_replace
     from seq2seq_abcd_vae_tpu.utils import backend_select
+    # the axon tunnel acks dispatches without executing them, so timed
+    # chunks are closed by a host fetch of the last step's metrics
+    from seq2seq_abcd_vae_tpu.utils.sync import wait as sync_wait
 
     on_cpu = jax.devices()[0].platform == "cpu"
     auto_backend = base_statics.rnn_backend
@@ -167,7 +170,7 @@ def main():
             params, opt_state, m = run_batch(
                 batch, learner._place_batch(batch), params, opt_state,
                 statics_by[b])
-        jax.block_until_ready(params)
+        sync_wait(m)
 
     def batches():
         while True:
@@ -190,7 +193,7 @@ def main():
                                              opt_state, statics)
             batch = next(it)
             placed = learner._place_batch(batch)
-        jax.block_until_ready(params)
+        sync_wait(m)
         t0 = time.perf_counter()
         done = 0
         for _ in range(timed_batches):
@@ -199,7 +202,7 @@ def main():
             done += batch.num_real
             batch = next(it)
             placed = learner._place_batch(batch)
-        jax.block_until_ready(params)
+        sync_wait(m)  # fetch, not block_until_ready: utils/sync.py
         return done / (time.perf_counter() - t0), params, opt_state
 
     # Interleaved A/B rounds: scan chunk then pallas chunk per round, so

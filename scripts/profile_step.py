@@ -28,12 +28,19 @@ if _env_platforms and _env_platforms != jax.config.jax_platforms:
 
 
 def timeit(fn, *args, n=5, **kw):
+    # utils/sync.wait, NOT block_until_ready: the axon tunnel acks
+    # dispatches without waiting for execution, so only a host fetch of
+    # the last program's output is a real barrier.  Single-device PjRt
+    # retires executions in dispatch order, so the n timed calls are
+    # pipelined (the Learner's real regime) and the one fetch at the
+    # end syncs them all.
+    from seq2seq_abcd_vae_tpu.utils.sync import wait
     out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    wait(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    wait(out)
     return (time.perf_counter() - t0) / n
 
 
@@ -114,13 +121,13 @@ def main():
     # real loop pipelines int16 transfers (data/batching.py), so device
     # step time is the number the kernel work should be judged by; the
     # transfer cost is measured separately below.
+    from seq2seq_abcd_vae_tpu.utils.sync import wait
     t0 = time.perf_counter()
-    audio = jax.device_put(audio_host)
-    jax.block_until_ready(audio)
+    audio = wait(jax.device_put(audio_host))
     transfer_s = time.perf_counter() - t0
     audio_i16 = (audio_host * 0.01).astype(np.int16)
     t0 = time.perf_counter()
-    jax.block_until_ready(jax.device_put(audio_i16))
+    wait(jax.device_put(audio_i16))
     transfer_i16_s = time.perf_counter() - t0
     print(f"host->device audio transfer: f32 {transfer_s * 1e3:8.2f}ms  "
           f"int16 {transfer_i16_s * 1e3:8.2f}ms  "
@@ -143,7 +150,7 @@ def main():
         statics=statics, no_sample=False, bucket_frames=t, tx=tx)
     t0 = time.perf_counter()
     out = tr()
-    jax.block_until_ready(out)
+    wait(out)
     compile_s = time.perf_counter() - t0
     step_s = timeit(tr, n=5)
     params, opt_state = state["p"], state["o"]
@@ -167,13 +174,17 @@ def main():
         "transfer_f32_ms": round(transfer_s * 1e3, 3),
         "transfer_i16_ms": round(transfer_i16_s * 1e3, 3),
     }
+    from seq2seq_abcd_vae_tpu.utils.backend_select import backend_report
+    report.update(backend_report())
+    print("backend:", report.get("rnn_backend"),
+          " probe-marginal-ms:", report.get("pallas_dispatch_ms"))
 
     if args.trace:
         # device-time breakdown: open with tensorboard or xprof
         with jax.profiler.trace(args.trace):
             for _ in range(3):
                 out = tr()
-            jax.block_until_ready(out)
+            wait(out)
         print(f"profiler trace written to {args.trace}")
 
     if args.ablate:

@@ -46,14 +46,23 @@ def _default_platform() -> str:
 
 
 def _default_measure() -> float:
-    """Median wall time of pre-compiled trivial pallas_calls, in ms.
+    """MARGINAL per-dispatch cost of a pallas_call vs a plain XLA
+    dispatch, in ms (median of 3 pipelined measurements).
 
-    One probe is decisive when it is already >10x the limit (the bad
-    tunnel regime costs ~seconds per dispatch; don't pay it thrice).
+    Two measurement rules this tunnel forces (utils/sync.py):
+    - jax.block_until_ready may be a no-op, so every timed chunk is
+      closed by a host fetch (which cannot complete early);
+    - a fetch costs a full tunnel round trip (~tens of ms) that scan
+      and pallas dispatches pay identically, so the probe times a
+      pipelined run of N calls per backend and reports the per-call
+      DIFFERENCE — in the bad-tunnel regime pallas costs ~0.5-1 s/call
+      extra, in the good regime the difference is ~0.
     """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
+
+    from .sync import wait
 
     def kernel(x_ref, o_ref):
         o_ref[:] = x_ref[:] + 1.0
@@ -64,16 +73,33 @@ def _default_measure() -> float:
             kernel,
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))(x)
 
+    @jax.jit
+    def base(x):
+        return x + 1.0
+
     x = jnp.zeros((8, 128), jnp.float32)
-    probe(x).block_until_ready()  # compile + first dispatch
+    wait(probe(x))  # compile + first dispatch
+    wait(base(x))
     limit = float(os.environ.get("SEQ2SEQ_PALLAS_DISPATCH_MS_MAX",
                                  _DEFAULT_MAX_MS))
+    n = 8
     samples = []
     for _ in range(3):
         t0 = time.perf_counter()
-        probe(x).block_until_ready()
-        samples.append((time.perf_counter() - t0) * 1e3)
+        y = x
+        for _ in range(n):
+            y = base(y)
+        wait(y)
+        base_ms = (time.perf_counter() - t0) * 1e3 / n
+        t0 = time.perf_counter()
+        y = x
+        for _ in range(n):
+            y = probe(y)
+        wait(y)
+        pallas_ms = (time.perf_counter() - t0) * 1e3 / n
+        samples.append(max(0.0, pallas_ms - base_ms))
         if samples[0] > 10.0 * limit:
+            # the bad regime costs ~seconds per call; one probe decides
             break
     return statistics.median(samples)
 
