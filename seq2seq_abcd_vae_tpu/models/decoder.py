@@ -248,7 +248,7 @@ def _run_direction(cfg: DecoderConfig, cell_params: dict,
             w_cat2 = jnp.concatenate([cell_params["w_hh"], w1_flat],
                                      axis=1)
             if cfg.rnn_type == "LSTM":
-                outs = decoder_pallas.decoder_loop(
+                outs, mean_s, logvar_s = decoder_pallas.decoder_loop(
                     noise_prev_t, mask_t.astype(h0.dtype),
                     prev_mask_t.astype(h0.dtype), w_cat2,
                     cell_params["b_ih"] + cell_params["b_hh"],
@@ -257,6 +257,25 @@ def _run_direction(cfg: DecoderConfig, cell_params: dict,
                     cell_params["w_ih"], h0, c0,
                     interpret=jax.default_backend() != "tpu",
                     precision=rnn_mod.kernel_precision())
+                rnn_out = jnp.swapaxes(outs, 0, 1).astype(h0.dtype)
+                # The kernel's step-t emission is the scan path's
+                # position-(t-1) emission wherever mask_{t-1}=1 (the
+                # only positions losses look at); shift to positions
+                # and compute the final position's emission from
+                # h2_{T-1} (one timestep, autodiff'd) instead of
+                # re-running the emission MLP over all B*T rows — the
+                # round-3 device trace priced that recompute (and its
+                # relayout copies) at ~9 ms/step.
+                last = sampler_mod.sampler_apply(emission_params,
+                                                 outs[-1])
+                em_params = tuple(
+                    jnp.swapaxes(
+                        jnp.concatenate([p_s[1:], p_last[None]], axis=0),
+                        0, 1)
+                    for p_s, p_last in zip((mean_s, logvar_s), last))
+                out = d.from_noise(jnp.swapaxes(noise_t, 0, 1),
+                                   *em_params)
+                return rnn_out, em_params, out
             else:  # GRU: biases stay separate (candidate-gate reset
                 # product includes b_hh; torch GRUCell semantics)
                 outs = decoder_pallas.gru_decoder_loop(

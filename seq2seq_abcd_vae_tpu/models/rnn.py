@@ -196,26 +196,30 @@ def run_rnn_layer_bidir(rnn_type: str, p_fwd: dict, p_bwd: dict,
     b, t, _ = x.shape
     hidden = p_fwd["w_hh"].shape[0]
     stacked = {k: jnp.stack([p_fwd[k], p_bwd[k]]) for k in p_fwd}
-    xp_f = jnp.swapaxes(input_proj(p_fwd, x), 0, 1)          # (T, B, G)
-    xp_b = jnp.flip(jnp.swapaxes(input_proj(p_bwd, x), 0, 1), 0)
-    xp = jnp.stack([xp_f, xp_b], axis=1)                     # (T, 2, B, G)
     mask_t = jnp.swapaxes(mask, 0, 1)[..., None]             # (T, B, 1)
     m = jnp.stack([mask_t, jnp.flip(mask_t, 0)], axis=1)     # (T, 2, B, 1)
-    # The stacked-direction kernel is opt-in here (SEQ2SEQ_ENCODER_BACKEND
-    # =pallas): it halves the sequential depth vs two per-direction
-    # kernel calls, but measured throughput-neutral vs this fused scan on
-    # the attached chip (bench A/B), so the scan keeps the default
-    # encoder trajectory.
-    enc_backend = os.environ.get("SEQ2SEQ_ENCODER_BACKEND", "scan")
-    if rnn_type == "LSTM" and enc_backend == "pallas":
+    # The fully fused kernel folds the input projection into the time
+    # loop (x streamed per direction by index map), so the (T,2,B,4H)
+    # xp tensor — 2.1 GB at the publication shape, the single largest
+    # HBM cost in the round-3 device trace — never exists.  The encoder
+    # follows the measured rnn backend (utils/backend_select.py) like
+    # the decoder; SEQ2SEQ_ENCODER_BACKEND=scan|pallas overrides.
+    enc_backend = os.environ.get("SEQ2SEQ_ENCODER_BACKEND", "auto")
+    if rnn_type == "LSTM" and (enc_backend == "pallas" or (
+            enc_backend == "auto" and resolved_backend() == "pallas")):
         from ..ops import lstm_pallas
-        outs, h_n, c_n = lstm_pallas.lstm_layer_bidir(
-            xp, m, stacked["w_hh"], stacked["b_hh"],
+        x_t = jnp.swapaxes(x, 0, 1)                          # (T, B, F)
+        outs, h_n, c_n = lstm_pallas.lstm_layer_bidir_fused(
+            x_t, m, stacked["w_ih"], stacked["b_ih"],
+            stacked["w_hh"], stacked["b_hh"],
             interpret=jax.default_backend() != "tpu",
             precision=kernel_precision())
         outs_f = jnp.swapaxes(outs[:, 0], 0, 1)
         outs_b = jnp.swapaxes(jnp.flip(outs[:, 1], 0), 0, 1)
         return outs_f, outs_b, [(h_n[0], c_n[0]), (h_n[1], c_n[1])]
+    xp_f = jnp.swapaxes(input_proj(p_fwd, x), 0, 1)          # (T, B, G)
+    xp_b = jnp.flip(jnp.swapaxes(input_proj(p_bwd, x), 0, 1), 0)
+    xp = jnp.stack([xp_f, xp_b], axis=1)                     # (T, 2, B, G)
     h0 = jnp.zeros((2, b, hidden), x.dtype)
     c0 = jnp.zeros((2, b, hidden), x.dtype)
 

@@ -52,7 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _fwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
                 b1_ref, w2m_ref, w2v_ref, b2_ref, wih_ref,
                 h0_ref, c0_ref,
-                out_ref, hs_ref, cs_ref,
+                out_ref, hs_ref, cs_ref, mean_ref, logvar_ref,
                 h_scr, c_scr,
                 *, hidden: int, m: int, precision=None):
     """One decoder step.  Streams: noise_prev (1,B,F), mask (1,B,1),
@@ -60,7 +60,13 @@ def _fwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
     b_ih+b_hh, b1 (1,2m), w2m/w2v (m,F), b2 (1,2F) = [b2_mean|b2_logvar],
     wih (F,4H), h0/c0 (B,H).  Outputs per step: out = the PRE-mask h2
     (scan-path parity: padded steps carry candidate values, losses mask
-    downstream), hs/cs = the masked carries (backward residuals)."""
+    downstream), hs/cs = the masked carries (backward residuals),
+    mean/logvar = the emission parameters computed AT this step (i.e. of
+    the carry produced by step t-1; equal to the scan path's position
+    t-1 emission wherever mask_{t-1}=1, which is everywhere the loss
+    looks).  Emitting them makes the loss elementwise downstream — the
+    round-3 trace showed the post-hoc (B*T) emission recompute costing
+    ~9 ms/step in relayout copies alone."""
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -103,17 +109,24 @@ def _fwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
     out_ref[0] = h2
     hs_ref[0] = h
     cs_ref[0] = c
+    mean_ref[0] = mean
+    logvar_ref[0] = logvar
 
 
 def _bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
                 b1_ref, w2m_ref, w2v_ref, b2_ref, wih_ref,
-                hprev_ref, cprev_ref, dout_ref,
+                hprev_ref, cprev_ref, h0_ref, c0_ref, dout_ref,
+                dmean_ref, dlogvar_ref,
                 dwcat_ref, dbias_ref, db1_ref, dw2m_ref, dw2v_ref,
                 db2_ref, dwih_ref, dh0_ref, dc0_ref,
                 dh_scr, dc_scr,
                 *, hidden: int, m: int, precision=None):
     """Reverse-order grid: program s processes step t = T-1-s,
-    recomputing the forward quantities from the saved trajectories."""
+    recomputing the forward quantities from the saved trajectories.
+    hprev/cprev stream hs/cs at block t-1 (clamped index map — no
+    host-side shifted copies); at t==0 the resident h0/c0 substitute.
+    dmean/dlogvar are the upstream gradients of the emitted per-step
+    emission parameters (zero where the caller had no use for them)."""
     s = pl.program_id(0)
     nt = pl.num_programs(0)
 
@@ -129,8 +142,11 @@ def _bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
         db2_ref[:, :] = jnp.zeros_like(db2_ref)
         dwih_ref[:, :] = jnp.zeros_like(dwih_ref)
 
-    h_prev = hprev_ref[0].astype(jnp.float32)
-    c_prev = cprev_ref[0].astype(jnp.float32)
+    first_step = s == nt - 1  # t == 0
+    h_prev = jnp.where(first_step, h0_ref[:, :],
+                       hprev_ref[0]).astype(jnp.float32)
+    c_prev = jnp.where(first_step, c0_ref[:, :],
+                       cprev_ref[0]).astype(jnp.float32)
     mt = mask_ref[0]
     pmt = pmask_ref[0]
     eps = noise_ref[0]
@@ -188,8 +204,8 @@ def _bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
     dbias_ref[:, :] += jnp.sum(dz, axis=0, keepdims=True)
 
     dx = dx * pmt
-    dmean = dx
-    dlogvar = dx * 0.5 * std * eps
+    dmean = dx + dmean_ref[0]
+    dlogvar = dx * 0.5 * std * eps + dlogvar_ref[0]
     db2_ref[:, :f_dim] += jnp.sum(dmean, axis=0, keepdims=True)
     db2_ref[:, f_dim:] += jnp.sum(dlogvar, axis=0, keepdims=True)
     demh_m = jnp.dot(dmean, w2m_ref[:, :].T,
@@ -253,42 +269,52 @@ def _fwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
     g_all = wcat.shape[1]
     m = (g_all - 4 * hidden) // 2
     ins, stream3, res = _specs(t, b, f, hidden, m, g_all)
-    outs, hs, cs = pl.pallas_call(
+    outs, hs, cs, mean_s, logvar_s = pl.pallas_call(
         functools.partial(_fwd_kernel, hidden=hidden, m=m,
                           precision=precision),
         grid=(t,),
         in_specs=ins + [res((b, hidden)), res((b, hidden))],
         out_specs=[stream3((1, b, hidden)), stream3((1, b, hidden)),
-                   stream3((1, b, hidden))],
+                   stream3((1, b, hidden)), stream3((1, b, f)),
+                   stream3((1, b, f))],
         out_shape=[jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
                    jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
-                   jax.ShapeDtypeStruct((t, b, hidden), jnp.float32)],
+                   jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+                   jax.ShapeDtypeStruct((t, b, f), jnp.float32),
+                   jax.ShapeDtypeStruct((t, b, f), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32),
                         pltpu.VMEM((b, hidden), jnp.float32)],
         interpret=interpret,
     )(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih, h0, c0)
-    return outs, hs, cs
+    return outs, hs, cs, mean_s, logvar_s
 
 
 def _bwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
-              h0, c0, hs, cs, douts, interpret, precision):
+              h0, c0, hs, cs, douts, dmean_s, dlogvar_s, interpret,
+              precision):
     t, b, f = noise.shape
     hidden = h0.shape[1]
     g_all = wcat.shape[1]
     m = (g_all - 4 * hidden) // 2
     ins, stream3, res = _specs(t, b, f, hidden, m, g_all)
-    h_prev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
-    c_prev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
     rev3 = lambda shp: pl.BlockSpec(shp, lambda i: (t - 1 - i, 0, 0),
                                     memory_space=pltpu.VMEM)
+    # block t-1, clamped; the kernel substitutes h0/c0 at t==0
+    shift3 = lambda shp: pl.BlockSpec(
+        shp, lambda i: (jnp.maximum(t - 2 - i, 0), 0, 0),
+        memory_space=pltpu.VMEM)
     rev_ins = [
         rev3((1, b, f)),               # noise_prev
         rev3((1, b, 1)),               # mask
         rev3((1, b, 1)),               # prev_mask
     ] + ins[3:] + [
-        rev3((1, b, hidden)),          # h_prev
-        rev3((1, b, hidden)),          # c_prev
+        shift3((1, b, hidden)),        # hs at t-1 -> h_prev
+        shift3((1, b, hidden)),        # cs at t-1 -> c_prev
+        res((b, hidden)),              # h0
+        res((b, hidden)),              # c0
         rev3((1, b, hidden)),          # dout
+        rev3((1, b, f)),               # dmean
+        rev3((1, b, f)),               # dlogvar
     ]
     out_specs = [
         res((hidden, g_all)), res((1, 4 * hidden)), res((1, 2 * m)),
@@ -317,32 +343,36 @@ def _bwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
                         pltpu.VMEM((b, hidden), jnp.float32)],
         interpret=interpret,
     )(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
-      h_prev, c_prev, douts)
+      hs, cs, h0, c0, douts, dmean_s, dlogvar_s)
     return grads
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13))
 def _decoder_loop_cvjp(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2,
                        wih, h0, c0, interpret, precision):
-    outs, hs, cs = _fwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v,
-                             b2, wih, h0, c0, interpret, precision)
-    return outs
+    outs, hs, cs, mean_s, logvar_s = _fwd_call(
+        noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih, h0, c0,
+        interpret, precision)
+    return outs, mean_s, logvar_s
 
 
 def _decoder_loop_fwd(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2,
                       wih, h0, c0, interpret, precision):
-    outs, hs, cs = _fwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v,
-                             b2, wih, h0, c0, interpret, precision)
-    return outs, (noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
-                  h0, c0, hs, cs)
+    outs, hs, cs, mean_s, logvar_s = _fwd_call(
+        noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih, h0, c0,
+        interpret, precision)
+    return (outs, mean_s, logvar_s), (noise, mask, pmask, wcat, bias, b1,
+                                      w2m, w2v, b2, wih, h0, c0, hs, cs)
 
 
-def _decoder_loop_bwd(interpret, precision, residuals, douts):
+def _decoder_loop_bwd(interpret, precision, residuals, grads):
     (noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih, h0, c0, hs,
      cs) = residuals
+    douts, dmean_s, dlogvar_s = grads
     (dwcat, dbias, db1, dw2m, dw2v, db2, dwih, dh0,
      dc0) = _bwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2,
-                      wih, h0, c0, hs, cs, douts, interpret, precision)
+                      wih, h0, c0, hs, cs, douts, dmean_s, dlogvar_s,
+                      interpret, precision)
     return (jnp.zeros_like(noise), jnp.zeros_like(mask),
             jnp.zeros_like(pmask), dwcat, dbias.reshape(-1),
             db1.reshape(-1), dw2m, dw2v, db2.reshape(-1), dwih, dh0, dc0)
@@ -665,10 +695,16 @@ def decoder_loop(noise_prev, mask, prev_mask, w_cat, bias, b1_flat,
       w_ih: (F, 4H) feedback input projection.
       h0, c0: (B, H) initial state.
 
-    Returns outs (T, B, H): the PRE-mask candidate hidden state h2 of
-    each step — identical to the scan path's rnn_out (padded steps carry
-    candidate values computed from the frozen carry; downstream losses
-    mask them).
+    Returns (outs, mean_s, logvar_s):
+      outs (T, B, H): the PRE-mask candidate hidden state h2 of each
+        step — identical to the scan path's rnn_out (padded steps carry
+        candidate values computed from the frozen carry; downstream
+        losses mask them).
+      mean_s / logvar_s (T, B, F): the emission parameters computed AT
+        step t (of the masked carry after step t-1; step 0 emits from
+        h0).  Wherever mask_{t-1}=1 these equal the scan path's
+        position-(t-1) emission; the caller shifts them to positions and
+        appends the final position's emission (models/decoder.py).
     """
     return _decoder_loop_cvjp(
         noise_prev, mask, prev_mask, w_cat, bias.reshape(1, -1),

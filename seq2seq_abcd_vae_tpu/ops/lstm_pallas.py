@@ -492,3 +492,284 @@ def lstm_layer_bidir(xp, mask, w_hh, b_hh, interpret=False,
     """
     return _lstm_bidir_cvjp(xp, mask.astype(xp.dtype), w_hh, b_hh,
                             interpret, precision)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused bidirectional layer: input projection INSIDE the kernel.
+#
+# The xp-based kernels above still require the caller to materialize
+# xp = x @ W_ih (+flip for direction 1) — at the publication shape that
+# is a (T, 2, B, 4H) f32 tensor (2.1 GB) written and re-read by both
+# passes, plus reverse/pad/copy relayouts; the round-3 device trace
+# shows that machinery costing ~25-30 ms/step of pure HBM traffic, more
+# than the recurrence itself.  Here the kernel streams the raw
+# (T, B, F) input twice (once per direction, the time reversal done for
+# free by the BlockSpec index map) and computes x_t @ W_ih per step in
+# VMEM, so xp never exists in HBM.  The backward kernel likewise
+# recomputes the projection, accumulates dW_ih/db_ih in VMEM, streams
+# the per-direction dx contributions back in ORIGINAL time order (the
+# index maps undo the direction flip), and reads the h/c trajectories
+# at block t-1 via a clamped index map instead of requiring the caller
+# to slice+pad 0.5 GB shifted copies.
+# ---------------------------------------------------------------------------
+
+
+def _fwdf_kernel(xf_ref, xb_ref, mask_ref, wih_ref, bih_ref, whh_ref,
+                 bhh_ref, out_ref, cs_ref, hn_ref, cn_ref, h_scr, c_scr,
+                 *, precision=None):
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    for d in range(2):
+        x_t = xf_ref[0] if d == 0 else xb_ref[0]
+        h = h_scr[d]
+        c = c_scr[d]
+        gates = (jnp.dot(x_t, wih_ref[d],
+                         preferred_element_type=jnp.float32,
+                         precision=precision)
+                 + bih_ref[d]
+                 + jnp.dot(h, whh_ref[d],
+                           preferred_element_type=jnp.float32,
+                           precision=precision)
+                 + bhh_ref[d])
+        hidden = h.shape[-1]
+        i = jax.nn.sigmoid(gates[:, :hidden])
+        f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+        o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+        c2 = f * c + i * g
+        h2 = o * jnp.tanh(c2)
+        m = mask_ref[0, d]
+        h = jnp.where(m > 0, h2, h)
+        c = jnp.where(m > 0, c2, c)
+        h_scr[d] = h
+        c_scr[d] = c
+        out_ref[0, d] = h
+        cs_ref[0, d] = c
+
+        @pl.when(t == nt - 1)
+        def _():
+            hn_ref[d] = h
+            cn_ref[d] = c
+
+
+def _bwdf_kernel(xr_ref, xf_ref, mask_ref, wih_ref, bih_ref, whh_ref,
+                 bhh_ref, hprev_ref, cprev_ref, c_ref, dout_ref,
+                 dhn_ref, dcn_ref,
+                 dx0_ref, dx1_ref, dwih_ref, dbih_ref, dwhh_ref,
+                 dbhh_ref, dh_scr, dc_scr, *, precision=None):
+    """Grid step s handles recurrence position tau = T-1-s of BOTH
+    directions (each in its own time axis).  xr streams x at the
+    direction-0 position (original index tau), xf at the direction-1
+    position (original index s).  hprev/cprev stream the saved
+    trajectories at block tau-1 (clamped); at tau==0 the initial zero
+    state is substituted in-kernel."""
+    s = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    @pl.when(s == 0)
+    def _():
+        dh_scr[:] = dhn_ref[:, :, :]
+        dc_scr[:] = dcn_ref[:, :, :]
+        dwih_ref[:, :, :] = jnp.zeros_like(dwih_ref)
+        dbih_ref[:, :, :] = jnp.zeros_like(dbih_ref)
+        dwhh_ref[:, :, :] = jnp.zeros_like(dwhh_ref)
+        dbhh_ref[:, :, :] = jnp.zeros_like(dbhh_ref)
+
+    first_step = s == nt - 1  # tau == 0
+    for d in range(2):
+        x_t = xr_ref[0] if d == 0 else xf_ref[0]
+        zero = jnp.zeros_like(hprev_ref[0, d])
+        h_prev = jnp.where(first_step, zero, hprev_ref[0, d])
+        c_prev = jnp.where(first_step, zero, cprev_ref[0, d])
+        c_new = c_ref[0, d]
+        m = mask_ref[0, d]
+        gates = (jnp.dot(x_t, wih_ref[d],
+                         preferred_element_type=jnp.float32,
+                         precision=precision)
+                 + bih_ref[d]
+                 + jnp.dot(h_prev, whh_ref[d],
+                           preferred_element_type=jnp.float32,
+                           precision=precision)
+                 + bhh_ref[d])
+        hidden = h_prev.shape[-1]
+        i = jax.nn.sigmoid(gates[:, :hidden])
+        f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+        o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+        c2 = jnp.where(m > 0, c_new, f * c_prev + i * g)
+        tanh_c2 = jnp.tanh(c2)
+
+        dh = dh_scr[d] + dout_ref[0, d]
+        dc = dc_scr[d]
+        dh_step = jnp.where(m > 0, dh, 0.0)
+        dc_step = jnp.where(m > 0, dc, 0.0)
+        do = dh_step * tanh_c2
+        dc2 = dc_step + dh_step * o * (1.0 - tanh_c2 * tanh_c2)
+        df = dc2 * c_prev
+        di = dc2 * g
+        dg = dc2 * i
+        dz = jnp.concatenate(
+            [di * i * (1.0 - i), df * f * (1.0 - f), dg * (1.0 - g * g),
+             do * o * (1.0 - o)], axis=-1)
+        dh_prev = (jnp.where(m > 0, 0.0, dh)
+                   + jnp.dot(dz, whh_ref[d].T,
+                             preferred_element_type=jnp.float32,
+                             precision=precision))
+        dc_prev = jnp.where(m > 0, dc2 * f, dc)
+        dx = jnp.dot(dz, wih_ref[d].T,
+                     preferred_element_type=jnp.float32,
+                     precision=precision)
+        if d == 0:
+            dx0_ref[0] = dx
+        else:
+            dx1_ref[0] = dx
+        dwih_ref[d] += jnp.dot(x_t.T, dz,
+                               preferred_element_type=jnp.float32,
+                               precision=precision)
+        dbih_ref[d] += jnp.sum(dz, axis=0, keepdims=True)
+        dwhh_ref[d] += jnp.dot(h_prev.T, dz,
+                               preferred_element_type=jnp.float32,
+                               precision=precision)
+        dbhh_ref[d] += jnp.sum(dz, axis=0, keepdims=True)
+        dh_scr[d] = dh_prev
+        dc_scr[d] = dc_prev
+
+
+def _fwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh, interpret, precision):
+    t, b, f_dim = x.shape
+    hidden = w_hh.shape[1]
+    g = w_hh.shape[2]
+    bih_row = b_ih.reshape(2, 1, g)
+    bhh_row = b_hh.reshape(2, 1, g)
+    res = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                   memory_space=pltpu.VMEM)
+    fwd = lambda shp: pl.BlockSpec(shp, lambda i: (i,) + (0,) *
+                                   (len(shp) - 1),
+                                   memory_space=pltpu.VMEM)
+    bwd = lambda shp: pl.BlockSpec(shp, lambda i: (t - 1 - i,) + (0,) *
+                                   (len(shp) - 1),
+                                   memory_space=pltpu.VMEM)
+    outs, cs, h_n, c_n = pl.pallas_call(
+        functools.partial(_fwdf_kernel, precision=precision),
+        grid=(t,),
+        in_specs=[fwd((1, b, f_dim)), bwd((1, b, f_dim)),
+                  fwd((1, 2, b, 1)),
+                  res((2, f_dim, g)), res((2, 1, g)),
+                  res((2, hidden, g)), res((2, 1, g))],
+        out_specs=[fwd((1, 2, b, hidden)), fwd((1, 2, b, hidden)),
+                   res((2, b, hidden)), res((2, b, hidden))],
+        out_shape=[jax.ShapeDtypeStruct((t, 2, b, hidden), x.dtype),
+                   jax.ShapeDtypeStruct((t, 2, b, hidden), x.dtype),
+                   jax.ShapeDtypeStruct((2, b, hidden), x.dtype),
+                   jax.ShapeDtypeStruct((2, b, hidden), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((2, b, hidden), jnp.float32),
+                        pltpu.VMEM((2, b, hidden), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, x, mask_f, w_ih, bih_row, w_hh, bhh_row)
+    return outs, cs, h_n, c_n
+
+
+def _bwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh, outs, cs, douts, dh_n,
+               dc_n, interpret, precision):
+    t, b, f_dim = x.shape
+    hidden = w_hh.shape[1]
+    g = w_hh.shape[2]
+    bih_row = b_ih.reshape(2, 1, g)
+    bhh_row = b_hh.reshape(2, 1, g)
+    res = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                   memory_space=pltpu.VMEM)
+    fwd = lambda shp: pl.BlockSpec(shp, lambda i: (i,) + (0,) *
+                                   (len(shp) - 1),
+                                   memory_space=pltpu.VMEM)
+    rev = lambda shp: pl.BlockSpec(shp, lambda i: (t - 1 - i,) + (0,) *
+                                   (len(shp) - 1),
+                                   memory_space=pltpu.VMEM)
+    # block tau-1, clamped at 0; the kernel substitutes zeros at tau==0
+    shift = lambda shp: pl.BlockSpec(
+        shp, lambda i: (jnp.maximum(t - 2 - i, 0),) + (0,) *
+        (len(shp) - 1),
+        memory_space=pltpu.VMEM)
+    (dx0, dx1, dwih, dbih, dwhh, dbhh) = pl.pallas_call(
+        functools.partial(_bwdf_kernel, precision=precision),
+        grid=(t,),
+        in_specs=[rev((1, b, f_dim)), fwd((1, b, f_dim)),
+                  rev((1, 2, b, 1)),
+                  res((2, f_dim, g)), res((2, 1, g)),
+                  res((2, hidden, g)), res((2, 1, g)),
+                  shift((1, 2, b, hidden)), shift((1, 2, b, hidden)),
+                  rev((1, 2, b, hidden)), rev((1, 2, b, hidden)),
+                  res((2, b, hidden)), res((2, b, hidden))],
+        out_specs=[rev((1, b, f_dim)), fwd((1, b, f_dim)),
+                   res((2, f_dim, g)), res((2, 1, g)),
+                   res((2, hidden, g)), res((2, 1, g))],
+        out_shape=[jax.ShapeDtypeStruct((t, b, f_dim), x.dtype),
+                   jax.ShapeDtypeStruct((t, b, f_dim), x.dtype),
+                   jax.ShapeDtypeStruct((2, f_dim, g), x.dtype),
+                   jax.ShapeDtypeStruct((2, 1, g), x.dtype),
+                   jax.ShapeDtypeStruct((2, hidden, g), x.dtype),
+                   jax.ShapeDtypeStruct((2, 1, g), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((2, b, hidden), jnp.float32),
+                        pltpu.VMEM((2, b, hidden), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, x, mask_f, w_ih, bih_row, w_hh, bhh_row,
+      outs, cs, cs, douts, dh_n, dc_n)
+    return (dx0 + dx1, dwih, dbih.reshape(2, -1), dwhh,
+            dbhh.reshape(2, -1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _lstm_bidir_fused_cvjp(x, mask_f, w_ih, b_ih, w_hh, b_hh, interpret,
+                           precision):
+    outs, cs, h_n, c_n = _fwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh,
+                                    interpret, precision)
+    return outs, h_n, c_n
+
+
+def _lstm_bidir_fused_fwd(x, mask_f, w_ih, b_ih, w_hh, b_hh, interpret,
+                          precision):
+    outs, cs, h_n, c_n = _fwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh,
+                                    interpret, precision)
+    return (outs, h_n, c_n), (x, mask_f, w_ih, b_ih, w_hh, b_hh, outs,
+                              cs)
+
+
+def _lstm_bidir_fused_bwd(interpret, precision, residuals, grads):
+    x, mask_f, w_ih, b_ih, w_hh, b_hh, outs, cs = residuals
+    douts, dh_n, dc_n = grads
+    dx, dwih, dbih, dwhh, dbhh = _bwdf_call(
+        x, mask_f, w_ih, b_ih, w_hh, b_hh, outs, cs, douts, dh_n, dc_n,
+        interpret, precision)
+    return dx, jnp.zeros_like(mask_f), dwih, dbih, dwhh, dbhh
+
+
+_lstm_bidir_fused_cvjp.defvjp(_lstm_bidir_fused_fwd, _lstm_bidir_fused_bwd)
+
+
+def lstm_layer_bidir_fused(x, mask, w_ih, b_ih, w_hh, b_hh,
+                           interpret=False, precision=None):
+    """Fully fused bidirectional masked LSTM layer over RAW inputs.
+
+    Args:
+      x: (T, B, F) time-major UNprojected inputs (original time order;
+        the kernel's index maps read direction 1 reversed).
+      mask: (T, 2, B, 1) validity, direction 1 time-flipped (same
+        layout as lstm_layer_bidir).
+      w_ih: (2, F, 4H); b_ih: (2, 4H); w_hh: (2, H, 4H); b_hh: (2, 4H).
+
+    Returns (outs (T, 2, B, H) — direction 1 in ITS OWN (flipped) time
+    order, h_n (2, B, H), c_n (2, B, H)); numerically matches
+    models/rnn.run_rnn_layer_bidir's scan.  Gradients flow to x and all
+    four weights (custom VJP, both passes Pallas).
+    """
+    return _lstm_bidir_fused_cvjp(x, mask.astype(x.dtype), w_ih, b_ih,
+                                  w_hh, b_hh, interpret, precision)

@@ -57,13 +57,24 @@ def kernel_inputs(cfg, params, h0, c0, mask, key):
 
 def test_forward_matches_scan():
     cfg, params, h0, c0, mask, key = setup()
-    rnn_out, _, _ = dec._run_direction(
+    rnn_out, em_params, _ = dec._run_direction(
         cfg, params["rnn_cell"], params["emission_sampler"], h0, c0, mask,
         key, True, "sample")
     ki = kernel_inputs(cfg, params, h0, c0, mask, key)
-    outs = decoder_pallas.decoder_loop(interpret=True, **ki)
+    outs, mean_s, logvar_s = decoder_pallas.decoder_loop(interpret=True,
+                                                         **ki)
     np.testing.assert_allclose(np.asarray(jnp.swapaxes(outs, 0, 1)),
                                np.asarray(rnn_out), rtol=2e-5, atol=2e-6)
+    # the kernel's step-(p+1) emission equals the scan path's position-p
+    # emission wherever mask_p = 1 (padded positions intentionally hold
+    # frozen-carry values instead; losses mask them)
+    m = np.asarray(mask)[:, :T - 1]  # (B, T-1) validity of positions
+    for kern_s, scan_p in ((mean_s, em_params[0]),
+                           (logvar_s, em_params[1])):
+        kern_pos = np.asarray(jnp.swapaxes(kern_s[1:], 0, 1))  # (B,T-1,F)
+        scan_pos = np.asarray(scan_p)[:, :T - 1]
+        np.testing.assert_allclose(kern_pos[m], scan_pos[m], rtol=2e-5,
+                                   atol=2e-6)
 
 
 def test_dispatch_through_decoder_apply():
@@ -106,7 +117,11 @@ def test_dispatch_through_decoder_apply():
                                float(a.emission_loss), rtol=1e-4)
     np.testing.assert_allclose(float(b.offset_loss),
                                float(a.offset_loss), rtol=1e-4)
-    np.testing.assert_allclose(np.asarray(b.out), np.asarray(a.out),
+    # padded positions hold backend-dependent garbage by contract (the
+    # LSTM kernel emits frozen-carry emissions there); compare valid ones
+    valid = np.asarray(jnp.arange(T)[None, :] < np.asarray(lengths)[:, None])
+    np.testing.assert_allclose(np.asarray(b.out)[valid],
+                               np.asarray(a.out)[valid],
                                rtol=2e-4, atol=2e-5)
 
 
@@ -247,7 +262,7 @@ def test_gradients_match_scan():
         p2["rnn_cell"] = cell
         p2["emission_sampler"] = emsampler
         ki = kernel_inputs(cfg, p2, h0, c0, mask, key)
-        outs = decoder_pallas.decoder_loop(interpret=True, **ki)
+        outs, _, _ = decoder_pallas.decoder_loop(interpret=True, **ki)
         rnn_out = jnp.swapaxes(outs, 0, 1)
         return jnp.sum(rnn_out * jnp.tanh(rnn_out))
 
@@ -256,6 +271,49 @@ def test_gradients_match_scan():
     g_kern = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(*args)
     flat_s, _ = jax.tree_util.tree_flatten(g_scan)
     flat_k, tree_k = jax.tree_util.tree_flatten(g_kern)
+    assert len(flat_s) == len(flat_k)
+    for a, b in zip(flat_s, flat_k):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_emission_loss_gradients_match_scan():
+    """Gradients THROUGH the emitted mean/logvar streams (the dmean/
+    dlogvar adjoint inputs of the backward kernel): the full
+    decoder_apply emission+offset loss must produce the same parameter
+    gradients on both backends."""
+    import os
+
+    from seq2seq_abcd_vae_tpu.utils import backend_select
+
+    cfg, params, _, _, _, _ = setup()
+    rng = np.random.default_rng(8)
+    feats = jnp.asarray(rng.normal(size=(B, 4)).astype(np.float32))
+    lengths = jnp.asarray([T, 4, 2])
+    gt = jnp.asarray(rng.normal(size=(B, T, F)).astype(np.float32))
+    off = jnp.zeros((B, T), jnp.float32)
+
+    def loss(p, backend):
+        old = os.environ.get("SEQ2SEQ_RNN_BACKEND")
+        os.environ["SEQ2SEQ_RNN_BACKEND"] = backend
+        backend_select.resolve_rnn_backend.cache_clear()
+        try:
+            o = dec.decoder_apply(
+                p, cfg, feats, lengths, T, ground_truth_out=gt,
+                ground_truth_offset=off, key=jax.random.PRNGKey(5),
+                deterministic=False, emission_mode="sample")
+            return o.emission_loss + o.offset_loss
+        finally:
+            if old is None:
+                del os.environ["SEQ2SEQ_RNN_BACKEND"]
+            else:
+                os.environ["SEQ2SEQ_RNN_BACKEND"] = old
+            backend_select.resolve_rnn_backend.cache_clear()
+
+    g_scan = jax.grad(lambda p: loss(p, "scan"))(params)
+    g_kern = jax.grad(lambda p: loss(p, "pallas"))(params)
+    flat_s, _ = jax.tree_util.tree_flatten(g_scan)
+    flat_k, _ = jax.tree_util.tree_flatten(g_kern)
     assert len(flat_s) == len(flat_k)
     for a, b in zip(flat_s, flat_k):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
