@@ -284,6 +284,8 @@ def _fwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
                    jax.ShapeDtypeStruct((t, b, f), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32),
                         pltpu.VMEM((b, hidden), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih, h0, c0)
     return outs, hs, cs, mean_s, logvar_s
@@ -341,6 +343,8 @@ def _bwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32),
                         pltpu.VMEM((b, hidden), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
       hs, cs, h0, c0, douts, dmean_s, dlogvar_s)
@@ -574,6 +578,8 @@ def _gru_fwd_call(noise, mask, pmask, wcat, bih, bhh, b1, w2m, w2v, b2,
         out_shape=[jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
                    jax.ShapeDtypeStruct((t, b, hidden), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(noise, mask, pmask, wcat, bih, bhh, b1, w2m, w2v, b2, wih, h0)
     return outs, hs
@@ -621,6 +627,8 @@ def _gru_bwd_call(noise, mask, pmask, wcat, bih, bhh, b1, w2m, w2v, b2,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(noise, mask, pmask, wcat, bih, bhh, b1, w2m, w2v, b2, wih,
       h_prev, douts)
