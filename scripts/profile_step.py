@@ -72,6 +72,31 @@ def compiled_flops(jitted_call, *args, **kw) -> float | None:
         return None
 
 
+def scan_backend_flops(jitted_call, statics, *args, **kw) -> float | None:
+    """Model FLOPs/step counted on the scan backend.
+
+    XLA's cost analysis cannot see inside Pallas custom-calls, so on the
+    pallas backend ``compiled_flops`` under-counts by the whole
+    recurrence (32 vs 132 GFLOP at B=512 T=112).  The scan lowering of
+    the SAME step is fully visible to XLA; its count is the honest MFU
+    numerator whichever backend is timed."""
+    from seq2seq_abcd_vae_tpu.utils.backend_select import SELECTOR
+    import dataclasses
+
+    prev_env = os.environ.get("SEQ2SEQ_RNN_BACKEND")
+    os.environ["SEQ2SEQ_RNN_BACKEND"] = "scan"
+    SELECTOR.reset()
+    try:
+        st = dataclasses.replace(statics, rnn_backend="scan")
+        return compiled_flops(jitted_call, *args, statics=st, **kw)
+    finally:
+        if prev_env is None:
+            del os.environ["SEQ2SEQ_RNN_BACKEND"]
+        else:
+            os.environ["SEQ2SEQ_RNN_BACKEND"] = prev_env
+        SELECTOR.reset()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=512)
@@ -148,6 +173,14 @@ def main():
     flops = compiled_flops(
         _train_step, params, opt_state, audio, nf, spk, key, 512.0, 1.0,
         statics=statics, no_sample=False, bucket_frames=t, tx=tx)
+    from seq2seq_abcd_vae_tpu.utils.backend_select import SELECTOR
+    resolved_backend = SELECTOR.current()
+    if resolved_backend == "scan":
+        flops_model = flops
+    else:
+        flops_model = scan_backend_flops(
+            _train_step, statics, params, opt_state, audio, nf, spk, key,
+            512.0, 1.0, no_sample=False, bucket_frames=t, tx=tx) or flops
     t0 = time.perf_counter()
     out = tr()
     wait(out)
@@ -156,12 +189,19 @@ def main():
     params, opt_state = state["p"], state["o"]
     peak = peak_flops()
     mfu = (flops / step_s / peak) if (flops and peak) else None
+    mfu_model = (flops_model / step_s / peak) if (flops_model and peak) \
+        else None
     print(f"train_step  B={b} T={t}: compile {compile_s:6.1f}s  "
           f"step {step_s * 1e3:8.2f}ms  -> {b / step_s:8.1f} seg/s")
     if flops:
         print(f"  XLA-counted FLOPs/step: {flops / 1e9:.2f} GFLOP"
               + (f"  MFU (bf16 peak {peak / 1e12:.0f}T): {mfu * 100:.2f}%"
                  if mfu is not None else ""))
+    if flops_model and flops_model != flops:
+        print(f"  model FLOPs/step (scan lowering): "
+              f"{flops_model / 1e9:.2f} GFLOP"
+              + (f"  model MFU: {mfu_model * 100:.2f}%"
+                 if mfu_model is not None else ""))
     report = {
         "device": jax.devices()[0].device_kind,
         "batch": b, "bucket": t, "precision": args.precision,
@@ -169,7 +209,9 @@ def main():
         "train_step_ms": round(step_s * 1e3, 3),
         "segments_per_sec": round(b / step_s, 1),
         "flops_per_step": flops,
+        "model_flops_per_step": flops_model,
         "mfu_bf16_peak": None if mfu is None else round(mfu, 5),
+        "mfu_model": None if mfu_model is None else round(mfu_model, 5),
         "scan_unroll": os.environ.get("SEQ2SEQ_SCAN_UNROLL", "4"),
         "transfer_f32_ms": round(transfer_s * 1e3, 3),
         "transfer_i16_ms": round(transfer_i16_s * 1e3, 3),
