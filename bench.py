@@ -113,6 +113,14 @@ def main():
     # partial batches run at their true row count (data/batching.py)
     loader = DataLoader(train, fe, batch_size=batch_size, shuffle=True,
                         batching_mode=bmode, pad_to_batch_size=False)
+    # device-resident corpus cache (the shipping default; the per-batch
+    # host->device copy is the tunnel bottleneck): BENCH_DEVICE_CACHE=0
+    # restores round-2 streaming for A/B
+    if os.environ.get("BENCH_DEVICE_CACHE", "1") == "0":
+        learner.device_corpus_cache = "off"
+    cache = learner._cache_for(loader)
+    if cache is not None:
+        loader.skip_audio = True
     base_statics = learner._statics(fe, 2.0 ** -15, 11.0)
     learner.gradient_clip = 1.0
     learner._momentum = 0.0
@@ -168,8 +176,8 @@ def main():
         statics_by[b] = statics_for(b)
         for batch in loader:
             params, opt_state, m = run_batch(
-                batch, learner._place_batch(batch), params, opt_state,
-                statics_by[b])
+                batch, learner._place_batch(batch, cache), params,
+                opt_state, statics_by[b])
         sync_wait(m)
 
     def batches():
@@ -187,12 +195,12 @@ def main():
         os.environ["SEQ2SEQ_RNN_BACKEND"] = statics.rnn_backend
         backend_select.SELECTOR.reset()
         batch = next(it)
-        placed = learner._place_batch(batch)
+        placed = learner._place_batch(batch, cache)
         for _ in range(2):  # absorb retraces, fill the pipeline
             params, opt_state, m = run_batch(batch, placed, params,
                                              opt_state, statics)
             batch = next(it)
-            placed = learner._place_batch(batch)
+            placed = learner._place_batch(batch, cache)
         sync_wait(m)
         t0 = time.perf_counter()
         done = 0
@@ -201,7 +209,7 @@ def main():
                                              opt_state, statics)
             done += batch.num_real
             batch = next(it)
-            placed = learner._place_batch(batch)
+            placed = learner._place_batch(batch, cache)
         sync_wait(m)  # fetch, not block_until_ready: utils/sync.py
         return done / (time.perf_counter() - t0), params, opt_state
 
@@ -278,6 +286,7 @@ def main():
         "matmul_precision": precision,
         "length_sorted": length_sorted,
         "batching_mode": bmode,
+        "device_cache": cache is not None,
         "bucket_edges": stats_loader.bucket_edges,
         "frame_waste_frac": round(pad_stats["frame_waste_frac"], 4),
         "reference_sps": ref_sps,

@@ -47,6 +47,13 @@ def _tpu_extras(p: argparse.ArgumentParser) -> None:
     g.add_argument("--profile_dir", type=str, default=None,
                    help="If set, capture a jax.profiler trace of one "
                         "steady-state epoch into this directory.")
+    g.add_argument("--device_corpus_cache", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="Keep the corpus device-resident and assemble "
+                        "batches on-device (per-batch transfer becomes a "
+                        "(B,) index vector). 'auto' enables it when "
+                        "single-process and the corpus is under "
+                        "SEQ2SEQ_DEVICE_CACHE_MAX_BYTES (default 1 GiB).")
 
 
 def build_learning_parser(variant: str) -> argparse.ArgumentParser:

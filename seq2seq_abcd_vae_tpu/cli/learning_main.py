@@ -90,6 +90,7 @@ def main(variant: str, argv=None) -> None:
         profile_dir=parameters.profile_dir,
         length_sorted_batches=parameters.length_sorted_batches,
         batching_mode=parameters.batching_mode,
+        device_corpus_cache=parameters.device_corpus_cache,
     )
     if variant == "abcd":
         learner = Learner(

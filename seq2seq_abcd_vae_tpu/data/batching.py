@@ -75,6 +75,10 @@ class RawBatch:
     # (num_frames/speakers stay global-size — they are metadata-cheap);
     # None means audio is the full batch
     local_rows: tuple | None = None
+    # dataset POSITIONS of this batch's rows in row order (-1 for padding
+    # rows), for the device-resident corpus cache (data/device_cache.py);
+    # audio may be None when the loader was built with skip_audio=True
+    pos_sorted: np.ndarray | None = None
 
     @property
     def num_real(self) -> int:
@@ -126,7 +130,8 @@ class DataLoader:
                  seed: int = 1111, pad_to_batch_size: bool = True,
                  min_bucket: int = 32, length_sorted: bool = False,
                  num_buckets: int = 6, batching_mode: str | None = None,
-                 process_shard: tuple | None = None):
+                 process_shard: tuple | None = None,
+                 skip_audio: bool = False):
         """batching_mode controls batch COMPOSITION:
         - 'uniform': reference semantics — batches drawn from a uniform
           shuffle, so one long segment drags the whole batch to the top
@@ -159,6 +164,9 @@ class DataLoader:
         # decode + centering are the expensive part).  Requires
         # pad_to_batch_size so every batch has the full static row count.
         self.process_shard = process_shard
+        # device-resident corpus cache mode: batches carry only indices
+        # (pos_sorted); audio decode + host assembly are skipped entirely
+        self.skip_audio = skip_audio
         if process_shard is not None:
             pid, n_proc = process_shard
             if not pad_to_batch_size:
@@ -279,6 +287,12 @@ class DataLoader:
             local_rows = (lo, hi)
             local_pos = pos[lo:min(hi, len(pos))]
             n_local_rows = rows_per
+        pos_sorted = np.full((n_local_rows,), -1, np.int32)
+        pos_sorted[:len(local_pos)] = local_pos
+        if self.skip_audio:
+            return RawBatch(None, self._batch_frames(pos, frames, b),
+                            self._batch_speakers(pos, b), ixs, bucket,
+                            local_rows=local_rows, pos_sorted=pos_sorted)
         segs = [ds.segment_raw_pos(p) for p in local_pos]
         dtype = (np.int16 if all(s.dtype == np.int16 for s in segs)
                  else np.float32)
@@ -290,18 +304,25 @@ class DataLoader:
                 raise AssertionError(
                     f"batch row needs {row_need} samples but the bucket "
                     f"buffer holds {audio.shape[1]}")
-        num_frames = np.zeros((b,), np.int32)
-        speakers = np.full((b,), -1, np.int32)
-        num_frames[:len(pos)] = frames
-        speakers[:len(pos)] = ds.speakers_np[pos]
         if segs and not self._assemble_native(segs, fe, audio):
             for i, seg in enumerate(segs):
                 if fe.centering:
                     center_pad_segment(seg, fe.pad, audio[i])
                 else:
                     audio[i, :len(seg)] = seg
-        return RawBatch(audio, num_frames, speakers, ixs, bucket,
-                        local_rows=local_rows)
+        return RawBatch(audio, self._batch_frames(pos, frames, b),
+                        self._batch_speakers(pos, b), ixs, bucket,
+                        local_rows=local_rows, pos_sorted=pos_sorted)
+
+    def _batch_frames(self, pos, frames, b) -> np.ndarray:
+        num_frames = np.zeros((b,), np.int32)
+        num_frames[:len(pos)] = frames
+        return num_frames
+
+    def _batch_speakers(self, pos, b) -> np.ndarray:
+        speakers = np.full((b,), -1, np.int32)
+        speakers[:len(pos)] = self.dataset.speakers_np[pos]
+        return speakers
 
     def _assemble_native(self, segs, fe: FrontendSpec,
                          audio: np.ndarray) -> bool:

@@ -1,0 +1,142 @@
+"""Device-resident corpus cache: upload once, assemble batches on-device.
+
+The reference streams every batch from host to device (data_utils.py
+DataLoader -> cuda tensors per step); round-3 fetch-synced measurements
+showed that on this container's tunneled TPU the per-batch host->device
+audio copy — not compute — bounds training throughput (the tunnel pays a
+~0.5 s fixed cost per transfer and drifts to ~1 MB/s; the device step
+itself is ~22-33 ms).  The TPU-native answer is to keep the corpus in
+HBM: audio corpora at this model family's scale are tiny next to a v5e's
+16 GB (the toy corpus is ~1 MB, the 4096-segment bench corpus ~39 MB as
+int16), so the whole dataset is uploaded ONCE and every batch becomes a
+device-side gather driven by a (B,) int32 index vector — a ~2 KB
+transfer instead of megabytes.
+
+Bit-parity contract with host assembly (data/batching.py make_batch):
+
+- each segment's CENTERED row content ([reflect|x|reflect], audio.py
+  center_pad_segment) is precomputed once at build — it depends only on
+  the segment, not the bucket — and concatenated into one flat buffer;
+- a batch gather reads ``buf_len`` samples from each row's offset and
+  zero-masks beyond the row's real sample count, reproducing the
+  host-assembled ``[content | 0-fill]`` rows exactly;
+- ``num_frames``/``speakers`` are gathered from per-segment arrays with
+  the padding-row sentinels (0 / -1) applied where ``pos < 0``;
+- the flat dtype is int16 iff every segment decodes to int16 (the host
+  path's per-batch rule, decided corpus-wide here; int16->f32 conversion
+  is exact so mixed corpora still produce identical frontend inputs).
+
+The cache is built per dataset, placed on one device, and used by
+Learner._place_batch / infer.encode when enabled (single-process,
+no device mesh, corpus under SEQ2SEQ_DEVICE_CACHE_MAX_BYTES).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .audio import center_pad_segment
+from .batching import FrontendSpec, RawBatch
+
+logger = logging.getLogger(__name__)
+
+
+def corpus_cache_bytes(dataset, frontend: FrontendSpec) -> int:
+    """Upper bound on the flat-buffer bytes (assumes f32 until built)."""
+    pad = frontend.pad if frontend.centering else 0
+    total = int(dataset.lengths_np.sum()) + 2 * pad * len(dataset)
+    return total * 4
+
+
+def _frames_for_lengths(lengths: np.ndarray, fe: FrontendSpec) -> np.ndarray:
+    # same formula as DataLoader._frames_for_lengths (batching.py)
+    padded = lengths + (2 * fe.pad if fe.centering else 0)
+    return np.where(padded >= fe.frame_length,
+                    1 + (padded - fe.frame_length) // fe.step_size,
+                    0).astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("buf_len",))
+def _gather_batch(flat, offsets, row_samples, frames, speakers, pos, *,
+                  buf_len: int):
+    """(B,) dataset positions (-1 = padding row) -> the host-assembly
+    triple (audio (B, buf_len), num_frames (B,), speakers (B,))."""
+    b = pos.shape[0]
+    posc = jnp.maximum(pos, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, buf_len), 1)
+    idx = offsets[posc][:, None] + col
+    audio = jnp.take(flat, idx, mode="clip")
+    ok = ((col < row_samples[posc][:, None]) & (pos >= 0)[:, None])
+    audio = jnp.where(ok, audio, jnp.zeros((), flat.dtype))
+    num_frames = jnp.where(pos >= 0, frames[posc], 0)
+    spk = jnp.where(pos >= 0, speakers[posc], -1)
+    return audio, num_frames, spk
+
+
+class DeviceCorpusCache:
+    """One dataset's centered segments, flat in device memory."""
+
+    def __init__(self, flat, offsets, row_samples, frames, speakers,
+                 frontend: FrontendSpec, device):
+        self.flat = flat
+        self.offsets = offsets
+        self.row_samples = row_samples
+        self.frames = frames
+        self.speakers = speakers
+        self.frontend = frontend
+        self.device = device
+
+    @classmethod
+    def build(cls, dataset, frontend: FrontendSpec, device):
+        """Decode + center every segment once and upload.  Returns None
+        when the corpus cannot be cached (a segment too short to
+        reflect-pad — the streaming path raises its diagnostic at the
+        batch that hits it, preserving the error surface)."""
+        n = len(dataset)
+        pad = frontend.pad if frontend.centering else 0
+        lengths = dataset.lengths_np
+        row_samples = (lengths + 2 * pad).astype(np.int64)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(row_samples, out=offsets[1:])
+        total = int(offsets[-1])
+        if total >= 2 ** 31:
+            return None  # int32 gather indices would overflow
+        segs = [dataset.segment_raw_pos(p) for p in range(n)]
+        dtype = (np.int16 if all(s.dtype == np.int16 for s in segs)
+                 else np.float32)
+        flat = np.zeros(total, dtype)
+        try:
+            for p, seg in enumerate(segs):
+                if seg.dtype != dtype:
+                    seg = seg.astype(dtype)
+                o = offsets[p]
+                if frontend.centering:
+                    center_pad_segment(seg, pad, flat[o:o + row_samples[p]])
+                else:
+                    flat[o:o + len(seg)] = seg
+        except ValueError:
+            return None
+        frames = _frames_for_lengths(lengths, frontend)
+        arrs = jax.device_put(
+            (flat, offsets[:n].astype(np.int32),
+             row_samples.astype(np.int32), frames,
+             dataset.speakers_np.astype(np.int32)), device)
+        logger.info(
+            "Device-resident corpus cache: {n} segments, {mb:.1f} MB "
+            "{dt} on {dev}".format(n=n, mb=flat.nbytes / 1e6,
+                                   dt=np.dtype(dtype).name, dev=device))
+        return cls(*arrs, frontend, device)
+
+    def place(self, batch: RawBatch):
+        """The device-side equivalent of transferring the host batch:
+        returns (audio, num_frames, speakers) on ``self.device``."""
+        pos = jax.device_put(batch.pos_sorted, self.device)
+        buf_len = self.frontend.buffer_len(batch.bucket_frames)
+        return _gather_batch(self.flat, self.offsets, self.row_samples,
+                             self.frames, self.speakers, pos,
+                             buf_len=buf_len)

@@ -142,13 +142,18 @@ class Encoder(Learner):
         self.retrieve_model(checkpoint_path=model_config_path, device=device)
 
     def encode_batch(self, batch: RawBatch, statics: StepStatics,
-                     mode: str):
-        out = self._dispatch(batch, statics, mode)
+                     mode: str, cache=None):
+        out = self._dispatch(batch, statics, mode, cache)
         return self._fetch(batch, out, mode)
 
-    def _dispatch(self, batch: RawBatch, statics: StepStatics, mode: str):
+    def _dispatch(self, batch: RawBatch, statics: StepStatics, mode: str,
+                  cache=None):
         """Asynchronously dispatch one encode step (device arrays out)."""
-        return _encode_step(self.params, batch.audio, batch.num_frames,
+        if cache is not None and batch.pos_sorted is not None:
+            audio, num_frames, _ = cache.place(batch)
+        else:
+            audio, num_frames = batch.audio, batch.num_frames
+        return _encode_step(self.params, audio, num_frames,
                             statics=statics,
                             bucket_frames=batch.bucket_frames, mode=mode)
 
@@ -163,14 +168,17 @@ class Encoder(Learner):
         """Yield (batch, host values) with one-batch lookahead: batch i+1
         is assembled and dispatched while batch i's results download and
         its CSV rows are written."""
+        cache = self._cache_for(dataloader)
+        if cache is not None:
+            dataloader.skip_audio = True
         it = iter(dataloader)
         batch = next(it, None)
         if batch is None:
             return
-        pending = self._dispatch(batch, statics, mode)
+        pending = self._dispatch(batch, statics, mode, cache)
         while batch is not None:
             nxt = next(it, None)
-            nxt_pending = (self._dispatch(nxt, statics, mode)
+            nxt_pending = (self._dispatch(nxt, statics, mode, cache)
                            if nxt is not None else None)
             yield batch, self._fetch(batch, pending, mode)
             batch, pending = nxt, nxt_pending

@@ -167,7 +167,8 @@ class Learner:
                  num_data_partitions: Optional[int] = None,
                  profile_dir: Optional[str] = None,
                  length_sorted_batches: bool = False,
-                 batching_mode: Optional[str] = None):
+                 batching_mode: Optional[str] = None,
+                 device_corpus_cache: str = "auto"):
         self.retrieval, self.log_file_path = update_log_handler(
             save_dir, primary=jax.process_index() == 0)
         self.save_dir = save_dir
@@ -185,6 +186,11 @@ class Learner:
         self.batching_mode = (batching_mode if batching_mode
                               else ("length_sorted" if length_sorted_batches
                                     else "bucket_shuffled"))
+        # 'auto'|'on'|'off': keep the corpus device-resident and gather
+        # batches on-device (data/device_cache.py) when single-process
+        # and small enough; per-batch transfer drops to a (B,) index
+        self.device_corpus_cache = device_corpus_cache
+        self._device_caches: dict = {}
         self._checkpointer = ckpt.AsyncCheckpointer()
         logger.info("Device: {device}".format(
             device=device or str(self.device)))
@@ -353,11 +359,41 @@ class Learner:
         else:
             self.mesh = None
 
-    def _place_batch(self, batch: RawBatch):
+    def _cache_for(self, dataloader):
+        """Build (once per dataset) or fetch the device-resident corpus
+        cache for this loader's dataset; None when caching is off,
+        meshed/multi-host, or the corpus is too big
+        (SEQ2SEQ_DEVICE_CACHE_MAX_BYTES, default 1 GiB)."""
+        mode = getattr(self, "device_corpus_cache", "auto")
+        if (mode == "off" or getattr(self, "mesh", None) is not None
+                or jax.process_count() > 1):
+            return None
+        ds = dataloader.dataset
+        key = id(ds)
+        if not hasattr(self, "_device_caches"):
+            self._device_caches = {}  # Encoder skips Learner.__init__
+        if key not in self._device_caches:
+            from ..data import device_cache as dc
+            limit = int(os.environ.get("SEQ2SEQ_DEVICE_CACHE_MAX_BYTES",
+                                       1 << 30))
+            cache = None
+            if (mode == "on"
+                    or dc.corpus_cache_bytes(ds, dataloader.frontend)
+                    <= limit):
+                cache = dc.DeviceCorpusCache.build(ds, dataloader.frontend,
+                                                   self.device)
+            # hold the dataset ref so id() cannot be recycled underneath
+            self._device_caches[key] = (ds, cache)
+        return self._device_caches[key][1]
+
+    def _place_batch(self, batch: RawBatch, cache=None):
         """Asynchronously start the host->device transfer (jax.device_put
         returns immediately), so the copy overlaps the previous step's
         execution — the transfer link, not compute, bounds throughput on
-        tunneled single-host setups."""
+        tunneled single-host setups.  With a device-resident corpus cache
+        the 'transfer' is a (B,) index vector + an on-device gather."""
+        if cache is not None and batch.pos_sorted is not None:
+            return cache.place(batch)
         if self.mesh is None:
             return jax.device_put((batch.audio, batch.num_frames,
                                    batch.speakers), self.device)
@@ -442,9 +478,11 @@ class Learner:
         no_sample = bool(is_pretraining and self.latent_type == "abcd")
 
         pending = []
+        cache = self._cache_for(dataloader)
         it = iter(dataloader)
         batch = next(it, None)
-        placed = self._place_batch(batch) if batch is not None else None
+        placed = self._place_batch(batch, cache) if batch is not None \
+            else None
         keys = self._epoch_keys(num_batches)
         k = 0
         while batch is not None:
@@ -459,7 +497,8 @@ class Learner:
             if self.latent_type == "abcd" and not is_pretraining:
                 self.iter_counts += 1
             batch = next(it, None)  # host assembly overlaps device step
-            placed = self._place_batch(batch) if batch is not None else None
+            placed = self._place_batch(batch, cache) if batch is not None \
+                else None
 
         for batch_ix, metrics in enumerate(pending, 1):
             emission_loss += float(metrics["emission_loss"])
@@ -510,9 +549,11 @@ class Learner:
 
         no_sample = bool(is_pretraining and self.latent_type == "abcd")
         pending = []
+        cache = self._cache_for(dataloader)
         it = iter(dataloader)
         batch = next(it, None)
-        placed = self._place_batch(batch) if batch is not None else None
+        placed = self._place_batch(batch, cache) if batch is not None \
+            else None
         keys = self._epoch_keys(num_batches)
         k = 0
         while batch is not None:
@@ -525,7 +566,8 @@ class Learner:
             k += 1
             pending.append(metrics)
             batch = next(it, None)
-            placed = self._place_batch(batch) if batch is not None else None
+            placed = self._place_batch(batch, cache) if batch is not None \
+                else None
         for batch_ix, metrics in enumerate(pending, 1):
             emission_loss += float(metrics["emission_loss"])
             end_prediction_loss += float(metrics["offset_loss"])
@@ -576,6 +618,11 @@ class Learner:
                                                      else "length_sorted"),
                                       pad_to_batch_size=pad_b,
                                       process_shard=shard)
+        # device-resident corpus cache: host assembly is skipped and the
+        # loaders yield index-only batches (data/device_cache.py)
+        for dl in (train_dataloader, valid_dataloader):
+            if self._cache_for(dl) is not None:
+                dl.skip_audio = True
         statics = self._statics(frontend, epsilon, data_normalizer)
 
         if self.retrieval:
