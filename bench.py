@@ -151,6 +151,20 @@ def main():
         backend_select.SELECTOR.reset()
         return dc_replace(base_statics, rnn_backend=backend)
 
+    # Measure the tunnel link itself (1 MB each way) so the captured
+    # JSON is interpretable under drift: train is compute-bound with the
+    # device cache, but encode still downloads (B, K) probs per batch.
+    from seq2seq_abcd_vae_tpu.utils.sync import wait as _w
+    _probe = np.zeros(1 << 18, np.float32)  # 1 MB
+    t0 = time.perf_counter()
+    _dev = _w(jax.device_put(_probe, learner.device))
+    up_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(_dev)
+    down_s = time.perf_counter() - t0
+    tunnel = {"tunnel_upload_MBps": round(1.0 / max(up_s, 1e-9), 2),
+              "tunnel_fetch_MBps": round(1.0 / max(down_s, 1e-9), 2)}
+
     params, opt_state = learner.params, learner.opt_state
     total_steps = (len(backends) * (len(loader) if hasattr(loader, "__len__")
                                     else loader.get_num_batches())
@@ -169,20 +183,32 @@ def main():
         kix += 1
         return params, opt_state, metrics
 
+    def epoch_pairs():
+        """(batch, placed) for one epoch; with the device cache the
+        epoch's index vectors ride in ONE staged transfer (the tunnel's
+        synchronous device_put costs ~an RTT per call)."""
+        if cache is None:
+            for batch in loader:
+                yield batch, learner._place_batch(batch)
+            return
+        epoch = list(loader)
+        staged = cache.stage_epoch(epoch)
+        for batch, pos in zip(epoch, staged):
+            yield batch, cache.place(batch, pos)
+
     # Warmup: one epoch per backend compiles every bucket shape on each
     # kernel path (the persistent cache makes repeat invocations fast).
     statics_by = {}
     for b in backends:
         statics_by[b] = statics_for(b)
-        for batch in loader:
+        for batch, placed in epoch_pairs():
             params, opt_state, m = run_batch(
-                batch, learner._place_batch(batch, cache), params,
-                opt_state, statics_by[b])
+                batch, placed, params, opt_state, statics_by[b])
         sync_wait(m)
 
     def batches():
         while True:
-            yield from loader
+            yield from epoch_pairs()
 
     it = batches()
 
@@ -194,13 +220,11 @@ def main():
         # same kernel path it is being timed as
         os.environ["SEQ2SEQ_RNN_BACKEND"] = statics.rnn_backend
         backend_select.SELECTOR.reset()
-        batch = next(it)
-        placed = learner._place_batch(batch, cache)
+        batch, placed = next(it)
         for _ in range(2):  # absorb retraces, fill the pipeline
             params, opt_state, m = run_batch(batch, placed, params,
                                              opt_state, statics)
-            batch = next(it)
-            placed = learner._place_batch(batch, cache)
+            batch, placed = next(it)
         sync_wait(m)
         t0 = time.perf_counter()
         done = 0
@@ -208,8 +232,7 @@ def main():
             params, opt_state, m = run_batch(batch, placed, params,
                                              opt_state, statics)
             done += batch.num_real
-            batch = next(it)
-            placed = learner._place_batch(batch, cache)
+            batch, placed = next(it)
         sync_wait(m)  # fetch, not block_until_ready: utils/sync.py
         return done / (time.perf_counter() - t0), params, opt_state
 
@@ -287,6 +310,7 @@ def main():
         "length_sorted": length_sorted,
         "batching_mode": bmode,
         "device_cache": cache is not None,
+        **tunnel,
         "bucket_edges": stats_loader.bucket_edges,
         "frame_waste_frac": round(pad_stats["frame_waste_frac"], 4),
         "reference_sps": ref_sps,

@@ -78,6 +78,14 @@ def _gather_batch(flat, offsets, row_samples, frames, speakers, pos, *,
     return audio, num_frames, spk
 
 
+@jax.jit
+def _split_rows(mat):
+    """(n, B) -> n separate (B,) device arrays in ONE dispatch (the
+    tunnel's device_put is synchronous at ~RTT per call; per-batch index
+    transfers would serialize the host loop at one RTT per batch)."""
+    return tuple(mat)
+
+
 class DeviceCorpusCache:
     """One dataset's centered segments, flat in device memory."""
 
@@ -132,11 +140,36 @@ class DeviceCorpusCache:
                                    dt=np.dtype(dtype).name, dev=device))
         return cls(*arrs, frontend, device)
 
-    def place(self, batch: RawBatch):
+    def place(self, batch: RawBatch, staged_pos=None):
         """The device-side equivalent of transferring the host batch:
-        returns (audio, num_frames, speakers) on ``self.device``."""
-        pos = jax.device_put(batch.pos_sorted, self.device)
+        returns (audio, num_frames, speakers) on ``self.device``.
+        ``staged_pos`` (from :meth:`stage_epoch`) skips the per-batch
+        index transfer."""
+        pos = (staged_pos if staged_pos is not None
+               else jax.device_put(batch.pos_sorted, self.device))
         buf_len = self.frontend.buffer_len(batch.bucket_frames)
         return _gather_batch(self.flat, self.offsets, self.row_samples,
                              self.frames, self.speakers, pos,
                              buf_len=buf_len)
+
+    def stage_epoch(self, batches):
+        """Upload ALL batches' index vectors in one transfer per row
+        length and split them on device: zero per-batch host->device
+        traffic for the epoch.  Returns one (B,) device array per batch
+        (row counts are grouped so the final partial batch keeps its true
+        size — identical RNG draws and jit keys to per-batch placement)."""
+        pos_list = [b.pos_sorted for b in batches]
+        by_len: dict = {}
+        for i, p in enumerate(pos_list):
+            by_len.setdefault(len(p), []).append(i)
+        out = [None] * len(pos_list)
+        for _, idxs in by_len.items():
+            if len(idxs) == 1:
+                out[idxs[0]] = jax.device_put(pos_list[idxs[0]],
+                                              self.device)
+                continue
+            mat = jax.device_put(
+                np.stack([pos_list[i] for i in idxs]), self.device)
+            for i, row in zip(idxs, _split_rows(mat)):
+                out[i] = row
+        return out

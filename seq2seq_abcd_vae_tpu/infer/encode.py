@@ -147,10 +147,10 @@ class Encoder(Learner):
         return self._fetch(batch, out, mode)
 
     def _dispatch(self, batch: RawBatch, statics: StepStatics, mode: str,
-                  cache=None):
+                  cache=None, staged_pos=None):
         """Asynchronously dispatch one encode step (device arrays out)."""
         if cache is not None and batch.pos_sorted is not None:
-            audio, num_frames, _ = cache.place(batch)
+            audio, num_frames, _ = cache.place(batch, staged_pos)
         else:
             audio, num_frames = batch.audio, batch.num_frames
         return _encode_step(self.params, audio, num_frames,
@@ -171,14 +171,18 @@ class Encoder(Learner):
         cache = self._cache_for(dataloader)
         if cache is not None:
             dataloader.skip_audio = True
-        it = iter(dataloader)
-        batch = next(it, None)
+            epoch = list(dataloader)  # index-only batches
+            staged = cache.stage_epoch(epoch)  # one transfer up front
+            it = iter(zip(epoch, staged))
+        else:
+            it = ((b, None) for b in dataloader)
+        batch, pos = next(it, (None, None))
         if batch is None:
             return
-        pending = self._dispatch(batch, statics, mode, cache)
+        pending = self._dispatch(batch, statics, mode, cache, pos)
         while batch is not None:
-            nxt = next(it, None)
-            nxt_pending = (self._dispatch(nxt, statics, mode, cache)
+            nxt, npos = next(it, (None, None))
+            nxt_pending = (self._dispatch(nxt, statics, mode, cache, npos)
                            if nxt is not None else None)
             yield batch, self._fetch(batch, pending, mode)
             batch, pending = nxt, nxt_pending

@@ -386,6 +386,22 @@ class Learner:
             self._device_caches[key] = (ds, cache)
         return self._device_caches[key][1]
 
+    def _batch_stream(self, dataloader, cache):
+        """(batch, placed-device-arrays) pairs with the transfer of batch
+        i+1 overlapping step i.  With a device corpus cache the epoch's
+        index vectors are staged in ONE transfer up front
+        (device_cache.stage_epoch) — the tunnel's device_put is
+        synchronous, so per-batch index transfers would serialize the
+        host loop at one RTT per batch."""
+        if cache is None:
+            for batch in dataloader:
+                yield batch, self._place_batch(batch)
+            return
+        batches = list(dataloader)  # index-only (skip_audio), cheap
+        staged = cache.stage_epoch(batches)
+        for batch, pos in zip(batches, staged):
+            yield batch, cache.place(batch, pos)
+
     def _place_batch(self, batch: RawBatch, cache=None):
         """Asynchronously start the host->device transfer (jax.device_put
         returns immediately), so the copy overlaps the previous step's
@@ -479,13 +495,9 @@ class Learner:
 
         pending = []
         cache = self._cache_for(dataloader)
-        it = iter(dataloader)
-        batch = next(it, None)
-        placed = self._place_batch(batch, cache) if batch is not None \
-            else None
         keys = self._epoch_keys(num_batches)
         k = 0
-        while batch is not None:
+        for batch, placed in self._batch_stream(dataloader, cache):
             audio, num_frames, speakers = placed
             self.params, self.opt_state, metrics = _train_step(
                 self.params, self.opt_state, audio, num_frames,
@@ -496,9 +508,6 @@ class Learner:
             pending.append(metrics)
             if self.latent_type == "abcd" and not is_pretraining:
                 self.iter_counts += 1
-            batch = next(it, None)  # host assembly overlaps device step
-            placed = self._place_batch(batch, cache) if batch is not None \
-                else None
 
         for batch_ix, metrics in enumerate(pending, 1):
             emission_loss += float(metrics["emission_loss"])
@@ -550,13 +559,9 @@ class Learner:
         no_sample = bool(is_pretraining and self.latent_type == "abcd")
         pending = []
         cache = self._cache_for(dataloader)
-        it = iter(dataloader)
-        batch = next(it, None)
-        placed = self._place_batch(batch, cache) if batch is not None \
-            else None
         keys = self._epoch_keys(num_batches)
         k = 0
-        while batch is not None:
+        for batch, placed in self._batch_stream(dataloader, cache):
             audio, num_frames, speakers = placed
             metrics = _eval_step(
                 self.params, audio, num_frames, speakers,
@@ -565,9 +570,6 @@ class Learner:
                 bucket_frames=batch.bucket_frames)
             k += 1
             pending.append(metrics)
-            batch = next(it, None)
-            placed = self._place_batch(batch, cache) if batch is not None \
-                else None
         for batch_ix, metrics in enumerate(pending, 1):
             emission_loss += float(metrics["emission_loss"])
             end_prediction_loss += float(metrics["offset_loss"])

@@ -61,6 +61,27 @@ def _host_vs_cache(dataset, fe, batch_size, pad_to_batch_size,
     assert seen == len(dataset)
 
 
+def test_stage_epoch_matches_per_batch_place(corpus):
+    import jax
+
+    p = AnnotationParser(str(corpus), str(corpus / "ann.csv"))
+    ds = p.get_data("train")
+    fe = FrontendSpec(128, 64)
+    loader = DataLoader(ds, fe, batch_size=4, shuffle=True, seed=5,
+                        batching_mode="bucket_shuffled",
+                        pad_to_batch_size=False)
+    cache = DeviceCorpusCache.build(ds, fe, jax.devices("cpu")[0])
+    epoch = list(loader)
+    staged = cache.stage_epoch(epoch)
+    assert len(staged) == len(epoch)
+    for batch, pos in zip(epoch, staged):
+        a1, n1, s1 = (np.asarray(x) for x in cache.place(batch, pos))
+        a2, n2, s2 = (np.asarray(x) for x in cache.place(batch))
+        np.testing.assert_array_equal(a1, a2)
+        np.testing.assert_array_equal(n1, n2)
+        np.testing.assert_array_equal(s1, s2)
+
+
 @pytest.mark.parametrize("pad_to_batch_size", [False, True])
 def test_gather_matches_host_assembly(corpus, pad_to_batch_size):
     p = AnnotationParser(str(corpus), str(corpus / "ann.csv"))
