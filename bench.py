@@ -245,6 +245,15 @@ def main():
                                                  opt_state)
             sps_by[b].append(round(sps, 2))
 
+    trace_dir = os.environ.get("BENCH_TRACE")
+    if trace_dir:
+        # one extra traced chunk (after the timed rounds, so the medians
+        # stay clean); analyze with scripts/trace_report.py
+        with jax.profiler.trace(trace_dir):
+            # run_batch donates params/opt_state; keep the returned ones
+            _, params, opt_state = timed_chunk(statics_by[backends[-1]],
+                                               params, opt_state)
+
     medians = {b: statistics.median(v) for b, v in sps_by.items()}
     headline_backend = (auto_backend if auto_backend in medians
                         else backends[0])

@@ -16,10 +16,13 @@ Bit-parity contract with host assembly (data/batching.py make_batch):
 
 - each segment's CENTERED row content ([reflect|x|reflect], audio.py
   center_pad_segment) is precomputed once at build — it depends only on
-  the segment, not the bucket — and concatenated into one flat buffer;
-- a batch gather reads ``buf_len`` samples from each row's offset and
-  zero-masks beyond the row's real sample count, reproducing the
-  host-assembled ``[content | 0-fill]`` rows exactly;
+  the segment, not the bucket — into a fixed-stride (N, S) array whose
+  tails are zero (S = longest centered row, 128-lane aligned; whole-row
+  gathers move at memory bandwidth where an elementwise index gather
+  cost ~20 ms/batch in the round-3 hardware trace);
+- a batch gather takes whole rows and statically slices/zero-pads S to
+  the bucket's ``buf_len``, reproducing the host-assembled
+  ``[content | 0-fill]`` rows exactly;
 - ``num_frames``/``speakers`` are gathered from per-segment arrays with
   the padding-row sentinels (0 / -1) applied where ``pos < 0``;
 - the flat dtype is int16 iff every segment decodes to int16 (the host
@@ -47,10 +50,18 @@ logger = logging.getLogger(__name__)
 
 
 def corpus_cache_bytes(dataset, frontend: FrontendSpec) -> int:
-    """Upper bound on the flat-buffer bytes (assumes f32 until built)."""
+    """Upper bound on the (padded 2-D) buffer bytes, assuming f32.
+
+    The cache stores one fixed-stride row per segment (stride = longest
+    centered row) rather than a ragged flat buffer: a whole-row gather
+    lowers to contiguous per-row dynamic slices the TPU moves at memory
+    bandwidth, where an elementwise (B, buf_len) index gather cost
+    ~20 ms/batch on hardware (round-3 trace)."""
     pad = frontend.pad if frontend.centering else 0
-    total = int(dataset.lengths_np.sum()) + 2 * pad * len(dataset)
-    return total * 4
+    if len(dataset) == 0:
+        return 0
+    stride = int(dataset.lengths_np.max()) + 2 * pad
+    return stride * len(dataset) * 4
 
 
 def _frames_for_lengths(lengths: np.ndarray, fe: FrontendSpec) -> np.ndarray:
@@ -62,17 +73,23 @@ def _frames_for_lengths(lengths: np.ndarray, fe: FrontendSpec) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("buf_len",))
-def _gather_batch(flat, offsets, row_samples, frames, speakers, pos, *,
-                  buf_len: int):
+def _gather_batch(rows, frames, speakers, pos, *, buf_len: int):
     """(B,) dataset positions (-1 = padding row) -> the host-assembly
-    triple (audio (B, buf_len), num_frames (B,), speakers (B,))."""
-    b = pos.shape[0]
+    triple (audio (B, buf_len), num_frames (B,), speakers (B,)).
+
+    ``rows`` is the (N, S) fixed-stride cache: content beyond each row's
+    real samples is already zero, so the whole-row gather only needs a
+    row mask for padding positions plus a static slice/zero-pad from S
+    to the bucket's buf_len."""
     posc = jnp.maximum(pos, 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, buf_len), 1)
-    idx = offsets[posc][:, None] + col
-    audio = jnp.take(flat, idx, mode="clip")
-    ok = ((col < row_samples[posc][:, None]) & (pos >= 0)[:, None])
-    audio = jnp.where(ok, audio, jnp.zeros((), flat.dtype))
+    audio = rows[posc]  # contiguous whole-row gather
+    audio = jnp.where((pos >= 0)[:, None], audio,
+                      jnp.zeros((), rows.dtype))
+    s = rows.shape[1]
+    if buf_len <= s:
+        audio = audio[:, :buf_len]
+    else:
+        audio = jnp.pad(audio, ((0, 0), (0, buf_len - s)))
     num_frames = jnp.where(pos >= 0, frames[posc], 0)
     spk = jnp.where(pos >= 0, speakers[posc], -1)
     return audio, num_frames, spk
@@ -87,13 +104,11 @@ def _split_rows(mat):
 
 
 class DeviceCorpusCache:
-    """One dataset's centered segments, flat in device memory."""
+    """One dataset's centered segments, a fixed-stride 2-D device array."""
 
-    def __init__(self, flat, offsets, row_samples, frames, speakers,
-                 frontend: FrontendSpec, device):
-        self.flat = flat
-        self.offsets = offsets
-        self.row_samples = row_samples
+    def __init__(self, rows, frames, speakers, frontend: FrontendSpec,
+                 device):
+        self.rows = rows
         self.frames = frames
         self.speakers = speakers
         self.frontend = frontend
@@ -106,37 +121,33 @@ class DeviceCorpusCache:
         reflect-pad — the streaming path raises its diagnostic at the
         batch that hits it, preserving the error surface)."""
         n = len(dataset)
+        if n == 0:
+            return None
         pad = frontend.pad if frontend.centering else 0
         lengths = dataset.lengths_np
         row_samples = (lengths + 2 * pad).astype(np.int64)
-        offsets = np.zeros(n + 1, np.int64)
-        np.cumsum(row_samples, out=offsets[1:])
-        total = int(offsets[-1])
-        if total >= 2 ** 31:
-            return None  # int32 gather indices would overflow
+        # 128-lane-aligned stride keeps the row gather layout-friendly
+        stride = int(-(-int(row_samples.max()) // 128) * 128)
         segs = [dataset.segment_raw_pos(p) for p in range(n)]
         dtype = (np.int16 if all(s.dtype == np.int16 for s in segs)
                  else np.float32)
-        flat = np.zeros(total, dtype)
+        rows = np.zeros((n, stride), dtype)
         try:
             for p, seg in enumerate(segs):
                 if seg.dtype != dtype:
                     seg = seg.astype(dtype)
-                o = offsets[p]
                 if frontend.centering:
-                    center_pad_segment(seg, pad, flat[o:o + row_samples[p]])
+                    center_pad_segment(seg, pad, rows[p, :row_samples[p]])
                 else:
-                    flat[o:o + len(seg)] = seg
+                    rows[p, :len(seg)] = seg
         except ValueError:
             return None
         frames = _frames_for_lengths(lengths, frontend)
         arrs = jax.device_put(
-            (flat, offsets[:n].astype(np.int32),
-             row_samples.astype(np.int32), frames,
-             dataset.speakers_np.astype(np.int32)), device)
+            (rows, frames, dataset.speakers_np.astype(np.int32)), device)
         logger.info(
             "Device-resident corpus cache: {n} segments, {mb:.1f} MB "
-            "{dt} on {dev}".format(n=n, mb=flat.nbytes / 1e6,
+            "{dt} on {dev}".format(n=n, mb=rows.nbytes / 1e6,
                                    dt=np.dtype(dtype).name, dev=device))
         return cls(*arrs, frontend, device)
 
@@ -148,8 +159,7 @@ class DeviceCorpusCache:
         pos = (staged_pos if staged_pos is not None
                else jax.device_put(batch.pos_sorted, self.device))
         buf_len = self.frontend.buffer_len(batch.bucket_frames)
-        return _gather_batch(self.flat, self.offsets, self.row_samples,
-                             self.frames, self.speakers, pos,
+        return _gather_batch(self.rows, self.frames, self.speakers, pos,
                              buf_len=buf_len)
 
     def stage_epoch(self, batches):
