@@ -22,6 +22,7 @@ import os
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
@@ -164,28 +165,56 @@ class Encoder(Learner):
             return tuple(np.asarray(p)[:n] for p in out)
         return np.asarray(out)[:n]
 
-    def _pipelined(self, dataloader, statics: StepStatics, mode: str):
-        """Yield (batch, host values) with one-batch lookahead: batch i+1
-        is assembled and dispatched while batch i's results download and
-        its CSV rows are written."""
+    def _pipelined(self, dataloader, statics: StepStatics, mode: str,
+                   chunk: int = 32):
+        """Yield (batch, host values) with chunked fetches: every batch
+        is dispatched asynchronously, outputs are concatenated ON DEVICE
+        per chunk, and one host fetch downloads the whole chunk — each
+        fetch pays the tunnel's fixed round-trip (~0.3-0.5 s observed),
+        so per-batch fetches bound encode at ~2-3 batches/s regardless
+        of compute."""
         cache = self._cache_for(dataloader)
         if cache is not None:
             dataloader.skip_audio = True
             epoch = list(dataloader)  # index-only batches
             staged = cache.stage_epoch(epoch)  # one transfer up front
-            it = iter(zip(epoch, staged))
+            stream = iter(zip(epoch, staged))
         else:
-            it = ((b, None) for b in dataloader)
-        batch, pos = next(it, (None, None))
-        if batch is None:
-            return
-        pending = self._dispatch(batch, statics, mode, cache, pos)
-        while batch is not None:
-            nxt, npos = next(it, (None, None))
-            nxt_pending = (self._dispatch(nxt, statics, mode, cache, npos)
-                           if nxt is not None else None)
-            yield batch, self._fetch(batch, pending, mode)
-            batch, pending = nxt, nxt_pending
+            stream = ((b, None) for b in dataloader)
+
+        batches: list = []
+        outs: list = []
+
+        def flush():
+            if not batches:
+                return
+            if mode == "params":
+                cats = tuple(
+                    np.asarray(jnp.concatenate([o[j] for o in outs], 0)
+                               if len(outs) > 1 else outs[0][j])
+                    for j in range(len(outs[0])))
+                rows_of = [o[0].shape[0] for o in outs]
+            else:
+                cats = np.asarray(jnp.concatenate(outs, 0)
+                                  if len(outs) > 1 else outs[0])
+                rows_of = [o.shape[0] for o in outs]
+            off = 0
+            for b, rows in zip(batches, rows_of):
+                n = b.num_real
+                if mode == "params":
+                    yield b, tuple(c[off:off + rows][:n] for c in cats)
+                else:
+                    yield b, cats[off:off + rows][:n]
+                off += rows
+            batches.clear()
+            outs.clear()
+
+        for batch, pos in stream:
+            outs.append(self._dispatch(batch, statics, mode, cache, pos))
+            batches.append(batch)
+            if len(batches) >= chunk:
+                yield from flush()
+        yield from flush()
 
     # ------------------------------------------------------------------
     def encode_dataset(self, dataset, save_path: str, frontend: FrontendSpec,
