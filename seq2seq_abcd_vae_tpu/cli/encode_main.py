@@ -18,10 +18,11 @@ from . import flags
 
 def main(mode: str, argv=None) -> None:
     variant = "plain" if mode == "params" else "abcd"
-    from ..utils import enable_persistent_compilation_cache
-    enable_persistent_compilation_cache()
-
     parameters = flags.build_encode_parser(variant).parse_args(argv)
+    from ..utils import (enable_persistent_compilation_cache,
+                         select_platforms)
+    select_platforms(parameters.device)  # before any backend touch
+    enable_persistent_compilation_cache()
 
     save_path = parameters.save_path
     if save_path is None:

@@ -29,10 +29,12 @@ def get_save_dir(save_root: str, job_id_str: str) -> str:
 
 def main(variant: str, argv=None) -> None:
     parameters = flags.build_learning_parser(variant).parse_args(argv)
+    from ..utils import (enable_persistent_compilation_cache,
+                         select_platforms)
+    select_platforms(parameters.device)  # before any backend touch
     from ..parallel.distributed import (is_primary,
                                         maybe_initialize_distributed)
     maybe_initialize_distributed()  # no-op unless the multi-host env is set
-    from ..utils import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
 
     save_root = parameters.save_root
