@@ -45,10 +45,17 @@ def kernel_precision():
     """MXU precision for Pallas kernel dots, honoring the session's
     jax_default_matmul_precision (the CLI's --matmul_precision, default
     'highest' for reference parity): Pallas bypasses the global config,
-    so the dispatch threads it explicitly."""
+    so the dispatch threads it explicitly.
+
+    SEQ2SEQ_KERNEL_MXU=bf16 opts non-'highest' sessions into one-pass
+    bf16 operands with f32 accumulation (ops/mxu.py) — the measured A/B
+    for this lever lives in BASELINE.md; 'highest' always stays f32."""
     prec = jax.config.jax_default_matmul_precision
-    return (jax.lax.Precision.HIGHEST
-            if prec in ("highest", "float32") else None)
+    if prec in ("highest", "float32"):
+        return jax.lax.Precision.HIGHEST
+    if os.environ.get("SEQ2SEQ_KERNEL_MXU") == "bf16":
+        return "bf16"
+    return None
 
 
 # ---------------------------------------------------------------------------

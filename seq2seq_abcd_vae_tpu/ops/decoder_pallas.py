@@ -49,6 +49,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+from .mxu import mxu_dot as _mxu_dot
+
+
 def _fwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
                 b1_ref, w2m_ref, w2v_ref, b2_ref, wih_ref,
                 h0_ref, c0_ref,
@@ -76,24 +79,17 @@ def _fwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
 
     h = h_scr[:]
     c = c_scr[:]
-    big = jnp.dot(h, wcat_ref[:, :], preferred_element_type=jnp.float32,
-                  precision=precision)
+    big = _mxu_dot(h, wcat_ref[:, :], precision)
     hp = big[:, :4 * hidden]
     emh = jnp.tanh(big[:, 4 * hidden:] + b1_ref[:, :])
     f_dim = w2m_ref.shape[1]
-    mean = (jnp.dot(emh[:, :m], w2m_ref[:, :],
-                    preferred_element_type=jnp.float32,
-                  precision=precision)
+    mean = (_mxu_dot(emh[:, :m], w2m_ref[:, :], precision)
             + b2_ref[:, :f_dim])
-    logvar = (jnp.dot(emh[:, m:], w2v_ref[:, :],
-                      preferred_element_type=jnp.float32,
-                  precision=precision)
+    logvar = (_mxu_dot(emh[:, m:], w2v_ref[:, :], precision)
               + b2_ref[:, f_dim:])
     x = mean + jnp.exp(0.5 * logvar) * noise_ref[0]
     x = x * pmask_ref[0]  # zero first input per row
-    gates = (hp + jnp.dot(x, wih_ref[:, :],
-                          preferred_element_type=jnp.float32,
-                  precision=precision)
+    gates = (hp + _mxu_dot(x, wih_ref[:, :], precision)
              + bias_ref[:, :])
     i = jax.nn.sigmoid(gates[:, :hidden])
     f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
@@ -153,24 +149,16 @@ def _bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
     f_dim = w2m_ref.shape[1]
 
     # ---- forward recompute of this step
-    big = jnp.dot(h_prev, wcat_ref[:, :],
-                  preferred_element_type=jnp.float32,
-                  precision=precision)
+    big = _mxu_dot(h_prev, wcat_ref[:, :], precision)
     hp = big[:, :4 * hidden]
     emh = jnp.tanh(big[:, 4 * hidden:] + b1_ref[:, :])
-    mean = (jnp.dot(emh[:, :m], w2m_ref[:, :],
-                    preferred_element_type=jnp.float32,
-                  precision=precision)
+    mean = (_mxu_dot(emh[:, :m], w2m_ref[:, :], precision)
             + b2_ref[:, :f_dim])
-    logvar = (jnp.dot(emh[:, m:], w2v_ref[:, :],
-                      preferred_element_type=jnp.float32,
-                  precision=precision)
+    logvar = (_mxu_dot(emh[:, m:], w2v_ref[:, :], precision)
               + b2_ref[:, f_dim:])
     std = jnp.exp(0.5 * logvar)
     x = (mean + std * eps) * pmt
-    gates = (hp + jnp.dot(x, wih_ref[:, :],
-                          preferred_element_type=jnp.float32,
-                  precision=precision)
+    gates = (hp + _mxu_dot(x, wih_ref[:, :], precision)
              + bias_ref[:, :])
     i = jax.nn.sigmoid(gates[:, :hidden])
     f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
@@ -197,10 +185,8 @@ def _bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
         [di * i * (1.0 - i), df * f * (1.0 - f), dg * (1.0 - g * g),
          do * o * (1.0 - o)], axis=-1)
 
-    dx = jnp.dot(dz, wih_ref[:, :].T, preferred_element_type=jnp.float32,
-                  precision=precision)
-    dwih_ref[:, :] += jnp.dot(x.T, dz, preferred_element_type=jnp.float32,
-                  precision=precision)
+    dx = _mxu_dot(dz, wih_ref[:, :].T, precision)
+    dwih_ref[:, :] += _mxu_dot(x.T, dz, precision)
     dbias_ref[:, :] += jnp.sum(dz, axis=0, keepdims=True)
 
     dx = dx * pmt
@@ -208,31 +194,19 @@ def _bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
     dlogvar = dx * 0.5 * std * eps + dlogvar_ref[0]
     db2_ref[:, :f_dim] += jnp.sum(dmean, axis=0, keepdims=True)
     db2_ref[:, f_dim:] += jnp.sum(dlogvar, axis=0, keepdims=True)
-    demh_m = jnp.dot(dmean, w2m_ref[:, :].T,
-                     preferred_element_type=jnp.float32,
-                  precision=precision)
-    demh_v = jnp.dot(dlogvar, w2v_ref[:, :].T,
-                     preferred_element_type=jnp.float32,
-                  precision=precision)
-    dw2m_ref[:, :] += jnp.dot(emh[:, :m].T, dmean,
-                              preferred_element_type=jnp.float32,
-                  precision=precision)
-    dw2v_ref[:, :] += jnp.dot(emh[:, m:].T, dlogvar,
-                              preferred_element_type=jnp.float32,
-                  precision=precision)
+    demh_m = _mxu_dot(dmean, w2m_ref[:, :].T, precision)
+    demh_v = _mxu_dot(dlogvar, w2v_ref[:, :].T, precision)
+    dw2m_ref[:, :] += _mxu_dot(emh[:, :m].T, dmean, precision)
+    dw2v_ref[:, :] += _mxu_dot(emh[:, m:].T, dlogvar, precision)
     demh = jnp.concatenate([demh_m, demh_v], axis=-1)
     dbig_em = demh * (1.0 - emh * emh)
     db1_ref[:, :] += jnp.sum(dbig_em, axis=0, keepdims=True)
 
     dbig = jnp.concatenate([dz, dbig_em], axis=-1)
     dh_prev = (jnp.where(mt > 0, 0.0, dh_carry)
-               + jnp.dot(dbig, wcat_ref[:, :].T,
-                         preferred_element_type=jnp.float32,
-                  precision=precision))
+               + _mxu_dot(dbig, wcat_ref[:, :].T, precision))
     dc_prev = jnp.where(mt > 0, 0.0, dc_carry) + dc2 * f
-    dwcat_ref[:, :] += jnp.dot(h_prev.T, dbig,
-                               preferred_element_type=jnp.float32,
-                  precision=precision)
+    dwcat_ref[:, :] += _mxu_dot(h_prev.T, dbig, precision)
     dh_scr[:] = dh_prev
     dc_scr[:] = dc_prev
 
@@ -403,23 +377,17 @@ def _gru_fwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bih_ref,
         h_scr[:] = h0_ref[:, :].astype(jnp.float32)
 
     h = h_scr[:]
-    big = jnp.dot(h, wcat_ref[:, :], preferred_element_type=jnp.float32,
-                  precision=precision)
+    big = _mxu_dot(h, wcat_ref[:, :], precision)
     hp = big[:, :3 * hidden] + bhh_ref[:, :]
     emh = jnp.tanh(big[:, 3 * hidden:] + b1_ref[:, :])
     f_dim = w2m_ref.shape[1]
-    mean = (jnp.dot(emh[:, :m], w2m_ref[:, :],
-                    preferred_element_type=jnp.float32,
-                    precision=precision)
+    mean = (_mxu_dot(emh[:, :m], w2m_ref[:, :], precision)
             + b2_ref[:, :f_dim])
-    logvar = (jnp.dot(emh[:, m:], w2v_ref[:, :],
-                      preferred_element_type=jnp.float32,
-                      precision=precision)
+    logvar = (_mxu_dot(emh[:, m:], w2v_ref[:, :], precision)
               + b2_ref[:, f_dim:])
     x = mean + jnp.exp(0.5 * logvar) * noise_ref[0]
     x = x * pmask_ref[0]  # zero first input per row
-    xp = (jnp.dot(x, wih_ref[:, :], preferred_element_type=jnp.float32,
-                  precision=precision)
+    xp = (_mxu_dot(x, wih_ref[:, :], precision)
           + bih_ref[:, :])
     r = jax.nn.sigmoid(xp[:, :hidden] + hp[:, :hidden])
     z = jax.nn.sigmoid(xp[:, hidden:2 * hidden]
@@ -462,22 +430,16 @@ def _gru_bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bih_ref,
     f_dim = w2m_ref.shape[1]
 
     # ---- forward recompute of this step
-    big = jnp.dot(h_prev, wcat_ref[:, :],
-                  preferred_element_type=jnp.float32, precision=precision)
+    big = _mxu_dot(h_prev, wcat_ref[:, :], precision)
     hp = big[:, :3 * hidden] + bhh_ref[:, :]
     emh = jnp.tanh(big[:, 3 * hidden:] + b1_ref[:, :])
-    mean = (jnp.dot(emh[:, :m], w2m_ref[:, :],
-                    preferred_element_type=jnp.float32,
-                    precision=precision)
+    mean = (_mxu_dot(emh[:, :m], w2m_ref[:, :], precision)
             + b2_ref[:, :f_dim])
-    logvar = (jnp.dot(emh[:, m:], w2v_ref[:, :],
-                      preferred_element_type=jnp.float32,
-                      precision=precision)
+    logvar = (_mxu_dot(emh[:, m:], w2v_ref[:, :], precision)
               + b2_ref[:, f_dim:])
     std = jnp.exp(0.5 * logvar)
     x = (mean + std * eps) * pmt
-    xp = (jnp.dot(x, wih_ref[:, :], preferred_element_type=jnp.float32,
-                  precision=precision)
+    xp = (_mxu_dot(x, wih_ref[:, :], precision)
           + bih_ref[:, :])
     hn = hp[:, 2 * hidden:]
     r = jax.nn.sigmoid(xp[:, :hidden] + hp[:, :hidden])
@@ -499,10 +461,8 @@ def _gru_bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bih_ref,
     dxp = jnp.concatenate([drpre, dzpre, dnpre], axis=-1)
     dhp = jnp.concatenate([drpre, dzpre, dhn], axis=-1)
 
-    dx = jnp.dot(dxp, wih_ref[:, :].T, preferred_element_type=jnp.float32,
-                 precision=precision)
-    dwih_ref[:, :] += jnp.dot(x.T, dxp, preferred_element_type=jnp.float32,
-                              precision=precision)
+    dx = _mxu_dot(dxp, wih_ref[:, :].T, precision)
+    dwih_ref[:, :] += _mxu_dot(x.T, dxp, precision)
     dbih_ref[:, :] += jnp.sum(dxp, axis=0, keepdims=True)
     dbhh_ref[:, :] += jnp.sum(dhp, axis=0, keepdims=True)
 
@@ -511,29 +471,17 @@ def _gru_bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bih_ref,
     dlogvar = dx * 0.5 * std * eps
     db2_ref[:, :f_dim] += jnp.sum(dmean, axis=0, keepdims=True)
     db2_ref[:, f_dim:] += jnp.sum(dlogvar, axis=0, keepdims=True)
-    demh_m = jnp.dot(dmean, w2m_ref[:, :].T,
-                     preferred_element_type=jnp.float32,
-                     precision=precision)
-    demh_v = jnp.dot(dlogvar, w2v_ref[:, :].T,
-                     preferred_element_type=jnp.float32,
-                     precision=precision)
-    dw2m_ref[:, :] += jnp.dot(emh[:, :m].T, dmean,
-                              preferred_element_type=jnp.float32,
-                              precision=precision)
-    dw2v_ref[:, :] += jnp.dot(emh[:, m:].T, dlogvar,
-                              preferred_element_type=jnp.float32,
-                              precision=precision)
+    demh_m = _mxu_dot(dmean, w2m_ref[:, :].T, precision)
+    demh_v = _mxu_dot(dlogvar, w2v_ref[:, :].T, precision)
+    dw2m_ref[:, :] += _mxu_dot(emh[:, :m].T, dmean, precision)
+    dw2v_ref[:, :] += _mxu_dot(emh[:, m:].T, dlogvar, precision)
     demh = jnp.concatenate([demh_m, demh_v], axis=-1)
     dbig_em = demh * (1.0 - emh * emh)
     db1_ref[:, :] += jnp.sum(dbig_em, axis=0, keepdims=True)
 
     dbig = jnp.concatenate([dhp, dbig_em], axis=-1)
-    dh_prev = dh_prev + jnp.dot(dbig, wcat_ref[:, :].T,
-                                preferred_element_type=jnp.float32,
-                                precision=precision)
-    dwcat_ref[:, :] += jnp.dot(h_prev.T, dbig,
-                               preferred_element_type=jnp.float32,
-                               precision=precision)
+    dh_prev = dh_prev + _mxu_dot(dbig, wcat_ref[:, :].T, precision)
+    dwcat_ref[:, :] += _mxu_dot(h_prev.T, dbig, precision)
     dh_scr[:] = dh_prev
 
     @pl.when(s == nt - 1)

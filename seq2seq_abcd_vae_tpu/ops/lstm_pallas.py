@@ -43,6 +43,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .mxu import mxu_dot as _mxu_dot
+
 
 def _fwd_kernel(xp_ref, mask_ref, w_ref, b_ref, out_ref, cs_ref, hn_ref,
                 cn_ref, h_scr, c_scr, *, precision=None):
@@ -56,9 +58,7 @@ def _fwd_kernel(xp_ref, mask_ref, w_ref, b_ref, out_ref, cs_ref, hn_ref,
 
     h = h_scr[:]
     c = c_scr[:]
-    gates = (xp_ref[0] + jnp.dot(h, w_ref[:, :],
-                                 preferred_element_type=jnp.float32,
-                         precision=precision)
+    gates = (xp_ref[0] + _mxu_dot(h, w_ref[:, :], precision)
              + b_ref[:, :])
     hidden = h.shape[-1]
     i = jax.nn.sigmoid(gates[:, :hidden])
@@ -102,9 +102,7 @@ def _bwd_kernel(xp_ref, mask_ref, w_ref, b_ref, hprev_ref, cprev_ref,
     m = mask_ref[0]
 
     # Recompute the gates of this step.
-    gates = (xp_ref[0] + jnp.dot(h_prev, w_ref[:, :],
-                                 preferred_element_type=jnp.float32,
-                         precision=precision)
+    gates = (xp_ref[0] + _mxu_dot(h_prev, w_ref[:, :], precision)
              + b_ref[:, :])
     hidden = h_prev.shape[-1]
     i = jax.nn.sigmoid(gates[:, :hidden])
@@ -134,15 +132,11 @@ def _bwd_kernel(xp_ref, mask_ref, w_ref, b_ref, hprev_ref, cprev_ref,
 
     # grads through the identity branch (mask=0): dh/dc pass straight.
     dh_prev = (jnp.where(m, 0.0, dh)
-               + jnp.dot(dz, w_ref[:, :].T,
-                         preferred_element_type=jnp.float32,
-                         precision=precision))
+               + _mxu_dot(dz, w_ref[:, :].T, precision))
     dc_prev = jnp.where(m, dc2 * f, dc)
 
     dxp_ref[0] = dz
-    dw_ref[:, :] += jnp.dot(h_prev.T, dz,
-                            preferred_element_type=jnp.float32,
-                         precision=precision)
+    dw_ref[:, :] += _mxu_dot(h_prev.T, dz, precision)
     db_ref[:, :] += jnp.sum(dz, axis=0, keepdims=True)
     dh_scr[:] = dh_prev
     dc_scr[:] = dc_prev
@@ -307,9 +301,7 @@ def _fwd2_kernel(xp_ref, mask_ref, w_ref, b_ref, out_ref, cs_ref, hn_ref,
     for d in range(2):
         h = h_scr[d]
         c = c_scr[d]
-        gates = (xp_ref[0, d] + jnp.dot(h, w_ref[d],
-                                        preferred_element_type=jnp.float32,
-                                        precision=precision)
+        gates = (xp_ref[0, d] + _mxu_dot(h, w_ref[d], precision)
                  + b_ref[d])
         hidden = h.shape[-1]
         i = jax.nn.sigmoid(gates[:, :hidden])
@@ -350,9 +342,7 @@ def _bwd2_kernel(xp_ref, mask_ref, w_ref, b_ref, hprev_ref, cprev_ref,
         c_prev = cprev_ref[0, d]
         c_new = c_ref[0, d]
         m = mask_ref[0, d]
-        gates = (xp_ref[0, d] + jnp.dot(h_prev, w_ref[d],
-                                        preferred_element_type=jnp.float32,
-                                        precision=precision)
+        gates = (xp_ref[0, d] + _mxu_dot(h_prev, w_ref[d], precision)
                  + b_ref[d])
         hidden = h_prev.shape[-1]
         i = jax.nn.sigmoid(gates[:, :hidden])
@@ -375,14 +365,10 @@ def _bwd2_kernel(xp_ref, mask_ref, w_ref, b_ref, hprev_ref, cprev_ref,
             [di * i * (1.0 - i), df * f * (1.0 - f), dg * (1.0 - g * g),
              do * o * (1.0 - o)], axis=-1)
         dh_prev = (jnp.where(m > 0, 0.0, dh)
-                   + jnp.dot(dz, w_ref[d].T,
-                             preferred_element_type=jnp.float32,
-                             precision=precision))
+                   + _mxu_dot(dz, w_ref[d].T, precision))
         dc_prev = jnp.where(m > 0, dc2 * f, dc)
         dxp_ref[0, d] = dz
-        dw_ref[d] += jnp.dot(h_prev.T, dz,
-                             preferred_element_type=jnp.float32,
-                             precision=precision)
+        dw_ref[d] += _mxu_dot(h_prev.T, dz, precision)
         db_ref[d] += jnp.sum(dz, axis=0, keepdims=True)
         dh_scr[d] = dh_prev
         dc_scr[d] = dc_prev
@@ -529,13 +515,9 @@ def _fwdf_kernel(xf_ref, xb_ref, mask_ref, wih_ref, bih_ref, whh_ref,
         x_t = xf_ref[0] if d == 0 else xb_ref[0]
         h = h_scr[d]
         c = c_scr[d]
-        gates = (jnp.dot(x_t, wih_ref[d],
-                         preferred_element_type=jnp.float32,
-                         precision=precision)
+        gates = (_mxu_dot(x_t, wih_ref[d], precision)
                  + bih_ref[d]
-                 + jnp.dot(h, whh_ref[d],
-                           preferred_element_type=jnp.float32,
-                           precision=precision)
+                 + _mxu_dot(h, whh_ref[d], precision)
                  + bhh_ref[d])
         hidden = h.shape[-1]
         i = jax.nn.sigmoid(gates[:, :hidden])
@@ -589,13 +571,9 @@ def _bwdf_kernel(xr_ref, xf_ref, mask_ref, wih_ref, bih_ref, whh_ref,
         c_prev = jnp.where(first_step, zero, cprev_ref[0, d])
         c_new = c_ref[0, d]
         m = mask_ref[0, d]
-        gates = (jnp.dot(x_t, wih_ref[d],
-                         preferred_element_type=jnp.float32,
-                         precision=precision)
+        gates = (_mxu_dot(x_t, wih_ref[d], precision)
                  + bih_ref[d]
-                 + jnp.dot(h_prev, whh_ref[d],
-                           preferred_element_type=jnp.float32,
-                           precision=precision)
+                 + _mxu_dot(h_prev, whh_ref[d], precision)
                  + bhh_ref[d])
         hidden = h_prev.shape[-1]
         i = jax.nn.sigmoid(gates[:, :hidden])
@@ -618,24 +596,16 @@ def _bwdf_kernel(xr_ref, xf_ref, mask_ref, wih_ref, bih_ref, whh_ref,
             [di * i * (1.0 - i), df * f * (1.0 - f), dg * (1.0 - g * g),
              do * o * (1.0 - o)], axis=-1)
         dh_prev = (jnp.where(m > 0, 0.0, dh)
-                   + jnp.dot(dz, whh_ref[d].T,
-                             preferred_element_type=jnp.float32,
-                             precision=precision))
+                   + _mxu_dot(dz, whh_ref[d].T, precision))
         dc_prev = jnp.where(m > 0, dc2 * f, dc)
-        dx = jnp.dot(dz, wih_ref[d].T,
-                     preferred_element_type=jnp.float32,
-                     precision=precision)
+        dx = _mxu_dot(dz, wih_ref[d].T, precision)
         if d == 0:
             dx0_ref[0] = dx
         else:
             dx1_ref[0] = dx
-        dwih_ref[d] += jnp.dot(x_t.T, dz,
-                               preferred_element_type=jnp.float32,
-                               precision=precision)
+        dwih_ref[d] += _mxu_dot(x_t.T, dz, precision)
         dbih_ref[d] += jnp.sum(dz, axis=0, keepdims=True)
-        dwhh_ref[d] += jnp.dot(h_prev.T, dz,
-                               preferred_element_type=jnp.float32,
-                               precision=precision)
+        dwhh_ref[d] += _mxu_dot(h_prev.T, dz, precision)
         dbhh_ref[d] += jnp.sum(dz, axis=0, keepdims=True)
         dh_scr[d] = dh_prev
         dc_scr[d] = dc_prev
