@@ -68,7 +68,49 @@ def make_workload(num_segments: int, work: str):
     return work, ann
 
 
+def _emit_error_and_exit(reason: str) -> None:
+    print(json.dumps({"metric": "train_segments_per_sec", "value": 0,
+                      "unit": "segments/sec", "vs_baseline": 0,
+                      "extra": {"error": reason}}), flush=True)
+    os._exit(2)
+
+
+def _tunnel_guard() -> None:
+    """The driver runs bench.py unattended at round end; a wedged axon
+    tunnel blocks the first backend touch forever (observed round 3:
+    jax.devices() hangs indefinitely during an outage).  Probe the
+    device round-trip in a daemon thread with a wall-clock bound and
+    emit a diagnostic JSON instead of hanging; also arm a whole-run
+    watchdog for hangs later in the run (first Mosaic compiles of each
+    bucket legitimately take minutes on this core, so the default is
+    generous)."""
+    import threading
+
+    probe_timeout = float(os.environ.get("BENCH_TUNNEL_TIMEOUT", 180))
+    run_timeout = float(os.environ.get("BENCH_WALL_TIMEOUT", 5400))
+    ok = threading.Event()
+
+    def probe():
+        import jax
+        x = jax.device_put(np.ones((8, 8), np.float32), jax.devices()[0])
+        np.asarray(x)
+        ok.set()
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    if not ok.wait(probe_timeout):
+        _emit_error_and_exit(
+            f"tpu tunnel unreachable: device round-trip exceeded "
+            f"{probe_timeout:.0f}s")
+    watchdog = threading.Timer(run_timeout, _emit_error_and_exit,
+                               args=(f"bench exceeded BENCH_WALL_TIMEOUT="
+                                     f"{run_timeout:.0f}s (tunnel hang?)",))
+    watchdog.daemon = True
+    watchdog.start()
+
+
 def main():
+    _tunnel_guard()
     num_segments = int(os.environ.get("BENCH_SEGMENTS", 4096))
     batch_size = int(os.environ.get("BENCH_BATCH_SIZE", 512))
     timed_batches = int(os.environ.get("BENCH_BATCHES", 16))
