@@ -170,11 +170,14 @@ def main():
         state["p"], state["o"] = p2, o2
         return m
 
+    # resolve the backend EAGERLY, outside any trace: the first resolution
+    # otherwise happens inside compiled_flops' lower(), where a probe
+    # failure used to poison the whole run to scan (round-3 bug)
+    from seq2seq_abcd_vae_tpu.utils.backend_select import SELECTOR
+    resolved_backend = SELECTOR.current()
     flops = compiled_flops(
         _train_step, params, opt_state, audio, nf, spk, key, 512.0, 1.0,
         statics=statics, no_sample=False, bucket_frames=t, tx=tx)
-    from seq2seq_abcd_vae_tpu.utils.backend_select import SELECTOR
-    resolved_backend = SELECTOR.current()
     if resolved_backend == "scan":
         flops_model = flops
     else:

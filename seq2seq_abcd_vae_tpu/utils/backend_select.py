@@ -59,6 +59,20 @@ def _default_measure() -> float:
       extra, in the good regime the difference is ~0.
     """
     import jax
+
+    # The first resolution can happen DURING jit tracing (the model code
+    # calls resolved_backend() from inside the step being lowered, e.g.
+    # profile_step's cost-analysis lower()).  Under omnistaging every jnp
+    # op in that context returns a tracer, so the probe's own arrays must
+    # be built under ensure_compile_time_eval or the host fetch raises
+    # TracerArrayConversionError — which round 3 observed as a silent
+    # fall-back to scan poisoning the whole session.
+    with jax.ensure_compile_time_eval():
+        return _measure_concrete()
+
+
+def _measure_concrete() -> float:
+    import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
@@ -142,9 +156,13 @@ class BackendSelector:
                                      _DEFAULT_MAX_MS))
         try:
             ms = self._measure()
-        except Exception:
-            self._record(context, None, "scan")
-            return self._current or "scan"
+        except Exception as e:
+            # keep the prior choice if any; record WHY the probe failed
+            # (a silently swallowed probe error cost round 3 a whole
+            # profiling pass on the wrong backend)
+            choice = self._current or "scan"
+            self._record(context, None, choice, error=repr(e)[:200])
+            return choice
         if self._current is None:
             choice = "pallas" if ms < limit else "scan"
         elif self._current == "pallas":
@@ -174,14 +192,18 @@ class BackendSelector:
         mode = os.environ.get("SEQ2SEQ_RNN_BACKEND", "auto")
         return mode if mode in ("scan", "pallas") else None
 
-    def _record(self, context: str, ms: float | None, choice: str) -> None:
+    def _record(self, context: str, ms: float | None, choice: str,
+                error: str | None = None) -> None:
         switched = self._current is not None and choice != self._current
-        self.decisions.append({
+        rec = {
             "context": context,
             "dispatch_ms": None if ms is None else round(ms, 3),
             "backend": choice,
             "switched": switched,
-        })
+        }
+        if error is not None:
+            rec["error"] = error
+        self.decisions.append(rec)
         self._current = choice
 
 

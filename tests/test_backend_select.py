@@ -92,6 +92,30 @@ def test_measure_failure_falls_back_to_scan():
 
     sel = BackendSelector(measure=boom, platform=lambda: "tpu")
     assert sel.current() == "scan"
+    # the failure reason is visible in the decision trail, never silent
+    assert "no pallas" in sel.decisions[-1]["error"]
+
+
+def test_measure_failure_keeps_prior_pallas():
+    """A transient probe failure must not flip a working pallas session
+    to scan (round-3 regression: a TracerArrayConversionError during a
+    traced first resolution silently poisoned the session)."""
+    state = {"ms": 1.0, "boom": False}
+
+    def measure():
+        if state["boom"]:
+            raise RuntimeError("transient tunnel hiccup")
+        return state["ms"]
+
+    sel = BackendSelector(measure=measure, platform=lambda: "tpu")
+    assert sel.current() == "pallas"
+    state["boom"] = True
+    assert sel.maybe_reprobe() == "pallas"  # keep prior choice
+    assert sel.decisions[-1]["dispatch_ms"] is None
+    assert "hiccup" in sel.decisions[-1]["error"]
+    state["boom"] = False
+    state["ms"] = 500.0
+    assert sel.maybe_reprobe() == "scan"  # real measurements still act
 
 
 def test_report_exposes_trail():
