@@ -1,13 +1,21 @@
-"""On-hardware gradient-parity probe: Pallas LSTM layer vs lax.scan.
+"""On-hardware gradient-parity probe: Pallas layer kernels vs lax.scan.
 
 The Pallas kernels are unit-tested in interpret mode (CPU); this probe
-runs the REAL compiled kernel on the attached TPU and compares the layer
+runs the REAL compiled kernels on the attached TPU and compares layer
 outputs, final states, and parameter/input gradients against the scan
 path.  A silent mismatch here would corrupt training whenever the
 backend auto-selection (utils/backend_select.py) picks 'pallas'.
 
+Covers all four encoder layer-kernel configurations: LSTM and GRU
+(reference's first-class -R choices, ABCD-VAE/modules/model.py:53),
+unidirectional (ops/lstm_pallas.lstm_layer / ops/gru_pallas.gru_layer)
+and fully fused bidirectional (lstm_layer_bidir_fused /
+gru_layer_bidir_fused).  Prints one JSON line per configuration with
+max-abs diffs and a pass flag, then a summary line.
+
 Usage: python scripts/pallas_grad_parity.py [B] [T] [H] [IN]
-Prints one JSON line with max-abs diffs and a pass flag.
+Env: SEQ2SEQ_KERNEL_MXU=bf16 probes the one-pass-bf16 MXU mode
+(tolerances widen automatically; see ops/mxu.py).
 """
 
 import json
@@ -19,10 +27,17 @@ sys.path.insert(0, REPO)
 
 import numpy as np
 
+NUM_GATES = {"LSTM": 4, "GRU": 3}
 
-def main():
-    b, t, h, f = (int(a) for a in (sys.argv[1:] + [8, 37, 256, 65][
-        len(sys.argv) - 1:]))
+
+def _force_backend(backend):
+    os.environ["SEQ2SEQ_RNN_BACKEND"] = backend
+    os.environ["SEQ2SEQ_ENCODER_BACKEND"] = backend
+    from seq2seq_abcd_vae_tpu.utils import backend_select
+    backend_select.resolve_rnn_backend.cache_clear()
+
+
+def probe(rnn_type, bidir, b, t, h, f):
     import jax
     import jax.numpy as jnp
 
@@ -30,38 +45,54 @@ def main():
     from seq2seq_abcd_vae_tpu.models import rnn as rnn_mod
 
     rng = np.random.default_rng(0)
-    params = init.rnn_gate_params(jax.random.PRNGKey(0), f, h, 4)
+    gates = NUM_GATES[rnn_type]
+    p_f = init.rnn_gate_params(jax.random.PRNGKey(0), f, h, gates)
+    p_b = init.rnn_gate_params(jax.random.PRNGKey(1), f, h, gates)
     x = jnp.asarray(rng.normal(size=(b, t, f)).astype(np.float32))
     lengths = jnp.asarray(rng.integers(1, t + 1, size=(b,)))
     lengths = lengths.at[0].set(t)
     mask = jnp.arange(t)[None, :] < lengths[:, None]
 
-    def loss_fn(params, x, backend):
-        os.environ["SEQ2SEQ_RNN_BACKEND"] = backend
-        rnn_mod.resolved_backend.cache_clear() if hasattr(
-            rnn_mod.resolved_backend, "cache_clear") else None
-        from seq2seq_abcd_vae_tpu.utils import backend_select
-        backend_select.resolve_rnn_backend.cache_clear()
-        outs, (h_n, c_n) = rnn_mod.run_rnn_layer("LSTM", params, x, mask)
-        return (jnp.sum(outs * outs) * 1e-3 + jnp.sum(h_n) +
-                jnp.sum(jnp.tanh(c_n))), (outs, h_n, c_n)
+    if bidir:
+        def fwd(p_f, p_b, x):
+            of, ob, fin = rnn_mod.run_rnn_layer_bidir(rnn_type, p_f, p_b,
+                                                      x, mask)
+            (hf, cf), (hb, cb) = fin
+            loss = (jnp.sum(of * of) * 1e-3 + jnp.sum(ob * ob) * 1e-3
+                    + jnp.sum(hf) + jnp.sum(hb)
+                    + jnp.sum(jnp.tanh(cf + cb)))
+            return loss, (of + ob, hf + hb, cf + cb)
 
-    results = {}
-    for backend in ("scan", "pallas"):
-        vg = jax.value_and_grad(lambda p, xx: loss_fn(p, xx, backend)[0],
-                                argnums=(0, 1))
-        # jit per backend (backend resolved at trace time)
-        os.environ["SEQ2SEQ_RNN_BACKEND"] = backend
-        from seq2seq_abcd_vae_tpu.utils import backend_select
-        backend_select.resolve_rnn_backend.cache_clear()
-        loss, (gp, gx) = jax.jit(vg)(params, x)
-        _, (outs, h_n, c_n) = loss_fn(params, x, backend)
-        results[backend] = dict(
-            loss=float(loss), outs=np.asarray(outs), h=np.asarray(h_n),
-            c=np.asarray(c_n), gx=np.asarray(gx),
-            gp={k: np.asarray(v) for k, v in gp.items()})
+        def run(backend):
+            _force_backend(backend)
+            vg = jax.value_and_grad(
+                lambda pf, pb, xx: fwd(pf, pb, xx)[0], argnums=(0, 1, 2))
+            loss, (gpf, gpb, gx) = jax.jit(vg)(p_f, p_b, x)
+            _, (outs, h_n, c_n) = fwd(p_f, p_b, x)
+            gp = {k: np.asarray(v) for k, v in gpf.items()}
+            gp.update({k + "_rev": np.asarray(v) for k, v in gpb.items()})
+            return dict(loss=float(loss), outs=np.asarray(outs),
+                        h=np.asarray(h_n), c=np.asarray(c_n),
+                        gx=np.asarray(gx), gp=gp)
+    else:
+        def fwd(p, x):
+            outs, (h_n, c_n) = rnn_mod.run_rnn_layer(rnn_type, p, x, mask)
+            loss = (jnp.sum(outs * outs) * 1e-3 + jnp.sum(h_n)
+                    + jnp.sum(jnp.tanh(c_n)))
+            return loss, (outs, h_n, c_n)
 
-    s, p = results["scan"], results["pallas"]
+        def run(backend):
+            _force_backend(backend)
+            vg = jax.value_and_grad(lambda p, xx: fwd(p, xx)[0],
+                                    argnums=(0, 1))
+            loss, (gp, gx) = jax.jit(vg)(p_f, x)
+            _, (outs, h_n, c_n) = fwd(p_f, x)
+            return dict(loss=float(loss), outs=np.asarray(outs),
+                        h=np.asarray(h_n), c=np.asarray(c_n),
+                        gx=np.asarray(gx),
+                        gp={k: np.asarray(v) for k, v in gp.items()})
+
+    s, p = run("scan"), run("pallas")
     diffs = {
         "loss": abs(s["loss"] - p["loss"]) / (abs(s["loss"]) + 1e-9),
         "outs": float(np.max(np.abs(s["outs"] - p["outs"]))),
@@ -71,14 +102,35 @@ def main():
     }
     for k in s["gp"]:
         diffs["grad_" + k] = float(np.max(np.abs(s["gp"][k] - p["gp"][k])))
+    # bf16 MXU mode trades ~1e-2-scale rounding for one-pass issue;
+    # f32 accumulation keeps grads finite and small-biased (BASELINE.md)
+    wide = os.environ.get("SEQ2SEQ_KERNEL_MXU") == "bf16"
+    tol_out, tol_grad = (3e-2, 1e-1) if wide else (1e-3, 2e-2)
     scale = float(np.max(np.abs(s["gx"]))) + 1e-9
-    ok = (diffs["outs"] < 1e-3 and diffs["h"] < 1e-3
-          and diffs["grad_x"] < max(1e-3, 1e-3 * scale)
-          and all(v < 2e-2 for k, v in diffs.items() if k.startswith("grad_")))
-    print(json.dumps({"shape": [b, t, h, f], "pass": bool(ok),
-                      "platform": jax.devices()[0].platform,
-                      "max_abs_diffs": {k: round(v, 8)
-                                        for k, v in diffs.items()}}))
+    ok = (diffs["outs"] < tol_out and diffs["h"] < tol_out
+          and diffs["grad_x"] < max(tol_out, tol_out * scale)
+          and all(v < tol_grad for k, v in diffs.items()
+                  if k.startswith("grad_")))
+    import jax
+    return {"config": f"{rnn_type}{'-bidir' if bidir else ''}",
+            "shape": [b, t, h, f], "pass": bool(ok),
+            "platform": jax.devices()[0].platform,
+            "max_abs_diffs": {k: round(v, 8) for k, v in diffs.items()}}
+
+
+def main():
+    b, t, h, f = (int(a) for a in (sys.argv[1:] + [8, 37, 256, 65][
+        len(sys.argv) - 1:]))
+    results = []
+    for rnn_type in ("LSTM", "GRU"):
+        for bidir in (False, True):
+            r = probe(rnn_type, bidir, b, t, h, f)
+            print(json.dumps(r))
+            results.append(r)
+    ok = all(r["pass"] for r in results)
+    print(json.dumps({"all_pass": ok,
+                      "configs": [r["config"] for r in results]}))
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":

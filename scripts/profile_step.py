@@ -68,7 +68,8 @@ def compiled_flops(jitted_call, *args, **kw) -> float | None:
         if isinstance(cost, list):
             cost = cost[0]
         return float(cost.get("flops", 0.0)) or None
-    except Exception:
+    except Exception as e:
+        print(f"compiled_flops failed: {e!r}"[:300], file=sys.stderr)
         return None
 
 

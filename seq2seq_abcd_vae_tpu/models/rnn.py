@@ -31,9 +31,10 @@ NUM_GATES = {"LSTM": 4, "GRU": 3, "RNN": 1}
 SCAN_UNROLL = int(os.environ.get("SEQ2SEQ_SCAN_UNROLL", "4"))
 
 # Full-layer recurrence backend: 'scan' (lax.scan), 'pallas'
-# (ops/lstm_pallas.py — whole time loop in one kernel, weights pinned in
-# VMEM; LSTM only, other cell types always use scan), or 'auto' (default:
-# measure one pallas_call dispatch and pick; see utils/backend_select.py).
+# (ops/lstm_pallas.py, ops/gru_pallas.py — whole time loop in one kernel,
+# weights pinned in VMEM; LSTM and GRU, Elman RNN always uses scan), or
+# 'auto' (default: measure one pallas_call dispatch and pick; see
+# utils/backend_select.py).
 
 
 def resolved_backend() -> str:
@@ -134,20 +135,24 @@ def run_rnn_layer(rnn_type: str, params: dict, x: jax.Array, mask: jax.Array,
     hidden = params["w_hh"].shape[0]
     xp = input_proj(params, x)  # (B, T, G) — one big matmul
     xp_t = jnp.swapaxes(xp, 0, 1)  # (T, B, G)
-    if rnn_type == "LSTM" and resolved_backend() == "pallas":
-        from ..ops import lstm_pallas
+    if rnn_type in ("LSTM", "GRU") and resolved_backend() == "pallas":
         m_t = jnp.swapaxes(mask, 0, 1)
         interpret = jax.default_backend() != "tpu"
         if reverse:
-            outs, h_n, c_n = lstm_pallas.lstm_layer(
-                jnp.flip(xp_t, 0), jnp.flip(m_t, 0), params["w_hh"],
-                params["b_hh"], interpret=interpret,
-                precision=kernel_precision())
-            outs = jnp.flip(outs, 0)
-        else:
+            xp_t, m_t = jnp.flip(xp_t, 0), jnp.flip(m_t, 0)
+        if rnn_type == "LSTM":
+            from ..ops import lstm_pallas
             outs, h_n, c_n = lstm_pallas.lstm_layer(
                 xp_t, m_t, params["w_hh"], params["b_hh"],
                 interpret=interpret, precision=kernel_precision())
+        else:
+            from ..ops import gru_pallas
+            outs, h_n = gru_pallas.gru_layer(
+                xp_t, m_t, params["w_hh"], params["b_hh"],
+                interpret=interpret, precision=kernel_precision())
+            c_n = jnp.zeros_like(h_n)
+        if reverse:
+            outs = jnp.flip(outs, 0)
         return jnp.swapaxes(outs, 0, 1), (h_n, c_n)
     mask_t = jnp.swapaxes(mask, 0, 1)[..., None]  # (T, B, 1)
     h0 = jnp.zeros((b, hidden), x.dtype)
@@ -212,15 +217,23 @@ def run_rnn_layer_bidir(rnn_type: str, p_fwd: dict, p_bwd: dict,
     # follows the measured rnn backend (utils/backend_select.py) like
     # the decoder; SEQ2SEQ_ENCODER_BACKEND=scan|pallas overrides.
     enc_backend = os.environ.get("SEQ2SEQ_ENCODER_BACKEND", "auto")
-    if rnn_type == "LSTM" and (enc_backend == "pallas" or (
+    if rnn_type in ("LSTM", "GRU") and (enc_backend == "pallas" or (
             enc_backend == "auto" and resolved_backend() == "pallas")):
-        from ..ops import lstm_pallas
         x_t = jnp.swapaxes(x, 0, 1)                          # (T, B, F)
-        outs, h_n, c_n = lstm_pallas.lstm_layer_bidir_fused(
-            x_t, m, stacked["w_ih"], stacked["b_ih"],
-            stacked["w_hh"], stacked["b_hh"],
-            interpret=jax.default_backend() != "tpu",
-            precision=kernel_precision())
+        interpret = jax.default_backend() != "tpu"
+        if rnn_type == "LSTM":
+            from ..ops import lstm_pallas
+            outs, h_n, c_n = lstm_pallas.lstm_layer_bidir_fused(
+                x_t, m, stacked["w_ih"], stacked["b_ih"],
+                stacked["w_hh"], stacked["b_hh"],
+                interpret=interpret, precision=kernel_precision())
+        else:
+            from ..ops import gru_pallas
+            outs, h_n = gru_pallas.gru_layer_bidir_fused(
+                x_t, m, stacked["w_ih"], stacked["b_ih"],
+                stacked["w_hh"], stacked["b_hh"],
+                interpret=interpret, precision=kernel_precision())
+            c_n = jnp.zeros_like(h_n)
         outs_f = jnp.swapaxes(outs[:, 0], 0, 1)
         outs_b = jnp.swapaxes(jnp.flip(outs[:, 1], 0), 0, 1)
         return outs_f, outs_b, [(h_n[0], c_n[0]), (h_n[1], c_n[1])]
