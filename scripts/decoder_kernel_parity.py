@@ -1,6 +1,6 @@
 """On-hardware parity probe for the whole-loop decoder Pallas kernels.
 
-The LSTM and GRU decoder-loop kernels (ops/decoder_pallas.py) are
+The LSTM, GRU, and Elman-RNN decoder-loop kernels (ops/decoder_pallas.py) are
 unit-tested in interpret mode (CPU); Mosaic hardware rules (lane-split
 reshapes, offset concats, sublane multiples) only bite on a real TPU, so
 this probe runs the REAL compiled kernels through the normal
@@ -9,7 +9,7 @@ gradients against the scan path.  A silent mismatch here would corrupt
 training whenever backend auto-selection picks 'pallas'.
 
 Usage: python scripts/decoder_kernel_parity.py [B] [T] [H] [F] [CELLS]
-  CELLS: comma list, default "LSTM,GRU"
+  CELLS: comma list, default "LSTM,GRU,RNN"
 Prints one JSON line per cell type with max-abs diffs and a pass flag.
 """
 
@@ -29,6 +29,12 @@ def run_cell(rnn_type: str, b: int, t: int, h: int, f: int):
 
     from seq2seq_abcd_vae_tpu.models import decoder as dec
     from seq2seq_abcd_vae_tpu.utils import backend_select
+
+    # apples-to-apples: the CLI defaults to 'highest' for parity; under
+    # 'default' the scan path's bf16 MXU passes and the kernels' f32
+    # accumulation diverge at bf16 rounding scale, which is not what
+    # this probe is testing
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     cfg = dec.DecoderConfig(output_size=f, rnn_hidden_size=h,
                             mlp_hidden_size=h, feature_size=16,
@@ -66,8 +72,12 @@ def run_cell(rnn_type: str, b: int, t: int, h: int, f: int):
             grads=jax.tree.map(np.asarray, grads))
 
     s, p = results["scan"], results["pallas"]
+    # padded positions hold backend-dependent values by contract (the
+    # LSTM kernel streams frozen-carry emissions there; losses mask
+    # them) — compare valid positions only, like the unit tests
+    valid = np.arange(t)[None, :] < np.asarray(lengths)[:, None]
     diffs = {"loss": abs(s["loss"] - p["loss"]) / (abs(s["loss"]) + 1e-9),
-             "out": float(np.max(np.abs(s["out"] - p["out"])))}
+             "out": float(np.max(np.abs(s["out"][valid] - p["out"][valid])))}
     flat_s, _ = jax.tree_util.tree_flatten_with_path(s["grads"])
     flat_p, _ = jax.tree_util.tree_flatten(p["grads"])
     gmax = 0.0
@@ -86,7 +96,7 @@ def main():
     t = int(args[1]) if len(args) > 1 else 33
     h = int(args[2]) if len(args) > 2 else 256
     f = int(args[3]) if len(args) > 3 else 65
-    cells = (args[4] if len(args) > 4 else "LSTM,GRU").split(",")
+    cells = (args[4] if len(args) > 4 else "LSTM,GRU,RNN").split(",")
     import jax
 
     platform = jax.devices()[0].platform

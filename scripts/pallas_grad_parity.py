@@ -6,11 +6,11 @@ outputs, final states, and parameter/input gradients against the scan
 path.  A silent mismatch here would corrupt training whenever the
 backend auto-selection (utils/backend_select.py) picks 'pallas'.
 
-Covers all four encoder layer-kernel configurations: LSTM and GRU
-(reference's first-class -R choices, ABCD-VAE/modules/model.py:53),
-unidirectional (ops/lstm_pallas.lstm_layer / ops/gru_pallas.gru_layer)
-and fully fused bidirectional (lstm_layer_bidir_fused /
-gru_layer_bidir_fused).  Prints one JSON line per configuration with
+Covers all six encoder layer-kernel configurations: LSTM, GRU, and
+Elman RNN (reference's trainable -R choices,
+ABCD-VAE/modules/model.py:53), unidirectional (lstm_layer / gru_layer /
+elman_pallas.rnn_layer) and fully fused bidirectional
+(*_layer_bidir_fused).  Prints one JSON line per configuration with
 max-abs diffs and a pass flag, then a summary line.
 
 Usage: python scripts/pallas_grad_parity.py [B] [T] [H] [IN]
@@ -27,7 +27,7 @@ sys.path.insert(0, REPO)
 
 import numpy as np
 
-NUM_GATES = {"LSTM": 4, "GRU": 3}
+NUM_GATES = {"LSTM": 4, "GRU": 3, "RNN": 1}
 
 
 def _force_backend(backend):
@@ -122,7 +122,7 @@ def main():
     b, t, h, f = (int(a) for a in (sys.argv[1:] + [8, 37, 256, 65][
         len(sys.argv) - 1:]))
     results = []
-    for rnn_type in ("LSTM", "GRU"):
+    for rnn_type in ("LSTM", "GRU", "RNN"):
         for bidir in (False, True):
             r = probe(rnn_type, bidir, b, t, h, f)
             print(json.dumps(r))

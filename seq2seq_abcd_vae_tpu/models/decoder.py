@@ -234,7 +234,7 @@ def _run_direction(cfg: DecoderConfig, cell_params: dict,
             out = d.from_noise(jnp.swapaxes(noise_t, 0, 1), *em_params)
         return rnn_out, em_params, out
 
-    if (cfg.rnn_type in ("LSTM", "GRU") and emission_mode == "sample"
+    if (cfg.rnn_type in ("LSTM", "GRU", "RNN") and emission_mode == "sample"
             and drop_t is None
             and cfg.emission_distr_name == "isotropic_gaussian"
             and rnn_mod.resolved_backend() == "pallas"):
@@ -276,12 +276,23 @@ def _run_direction(cfg: DecoderConfig, cell_params: dict,
                 out = d.from_noise(jnp.swapaxes(noise_t, 0, 1),
                                    *em_params)
                 return rnn_out, em_params, out
-            else:  # GRU: biases stay separate (candidate-gate reset
-                # product includes b_hh; torch GRUCell semantics)
+            elif cfg.rnn_type == "GRU":  # biases stay separate
+                # (candidate-gate reset product includes b_hh; torch
+                # GRUCell semantics)
                 outs = decoder_pallas.gru_decoder_loop(
                     noise_prev_t, mask_t.astype(h0.dtype),
                     prev_mask_t.astype(h0.dtype), w_cat2,
                     cell_params["b_ih"], cell_params["b_hh"],
+                    em["lin1"]["b"].reshape(-1), em["lin2"]["w"][0],
+                    em["lin2"]["w"][1], em["lin2"]["b"].reshape(-1),
+                    cell_params["w_ih"], h0,
+                    interpret=jax.default_backend() != "tpu",
+                    precision=rnn_mod.kernel_precision())
+            else:  # Elman RNN: biases simply add (torch RNNCell)
+                outs = decoder_pallas.rnn_decoder_loop(
+                    noise_prev_t, mask_t.astype(h0.dtype),
+                    prev_mask_t.astype(h0.dtype), w_cat2,
+                    cell_params["b_ih"] + cell_params["b_hh"],
                     em["lin1"]["b"].reshape(-1), em["lin2"]["w"][0],
                     em["lin2"]["w"][1], em["lin2"]["b"].reshape(-1),
                     cell_params["w_ih"], h0,

@@ -31,9 +31,9 @@ NUM_GATES = {"LSTM": 4, "GRU": 3, "RNN": 1}
 SCAN_UNROLL = int(os.environ.get("SEQ2SEQ_SCAN_UNROLL", "4"))
 
 # Full-layer recurrence backend: 'scan' (lax.scan), 'pallas'
-# (ops/lstm_pallas.py, ops/gru_pallas.py — whole time loop in one kernel,
-# weights pinned in VMEM; LSTM and GRU, Elman RNN always uses scan), or
-# 'auto' (default: measure one pallas_call dispatch and pick; see
+# (ops/{lstm,gru,elman}_pallas.py — whole time loop in one kernel,
+# weights pinned in VMEM; all three trainable cells), or 'auto'
+# (default: measure one pallas_call dispatch and pick; see
 # utils/backend_select.py).
 
 
@@ -135,7 +135,7 @@ def run_rnn_layer(rnn_type: str, params: dict, x: jax.Array, mask: jax.Array,
     hidden = params["w_hh"].shape[0]
     xp = input_proj(params, x)  # (B, T, G) — one big matmul
     xp_t = jnp.swapaxes(xp, 0, 1)  # (T, B, G)
-    if rnn_type in ("LSTM", "GRU") and resolved_backend() == "pallas":
+    if rnn_type in ("LSTM", "GRU", "RNN") and resolved_backend() == "pallas":
         m_t = jnp.swapaxes(mask, 0, 1)
         interpret = jax.default_backend() != "tpu"
         if reverse:
@@ -145,9 +145,15 @@ def run_rnn_layer(rnn_type: str, params: dict, x: jax.Array, mask: jax.Array,
             outs, h_n, c_n = lstm_pallas.lstm_layer(
                 xp_t, m_t, params["w_hh"], params["b_hh"],
                 interpret=interpret, precision=kernel_precision())
-        else:
+        elif rnn_type == "GRU":
             from ..ops import gru_pallas
             outs, h_n = gru_pallas.gru_layer(
+                xp_t, m_t, params["w_hh"], params["b_hh"],
+                interpret=interpret, precision=kernel_precision())
+            c_n = jnp.zeros_like(h_n)
+        else:
+            from ..ops import elman_pallas
+            outs, h_n = elman_pallas.rnn_layer(
                 xp_t, m_t, params["w_hh"], params["b_hh"],
                 interpret=interpret, precision=kernel_precision())
             c_n = jnp.zeros_like(h_n)
@@ -217,7 +223,7 @@ def run_rnn_layer_bidir(rnn_type: str, p_fwd: dict, p_bwd: dict,
     # follows the measured rnn backend (utils/backend_select.py) like
     # the decoder; SEQ2SEQ_ENCODER_BACKEND=scan|pallas overrides.
     enc_backend = os.environ.get("SEQ2SEQ_ENCODER_BACKEND", "auto")
-    if rnn_type in ("LSTM", "GRU") and (enc_backend == "pallas" or (
+    if rnn_type in ("LSTM", "GRU", "RNN") and (enc_backend == "pallas" or (
             enc_backend == "auto" and resolved_backend() == "pallas")):
         x_t = jnp.swapaxes(x, 0, 1)                          # (T, B, F)
         interpret = jax.default_backend() != "tpu"
@@ -227,9 +233,16 @@ def run_rnn_layer_bidir(rnn_type: str, p_fwd: dict, p_bwd: dict,
                 x_t, m, stacked["w_ih"], stacked["b_ih"],
                 stacked["w_hh"], stacked["b_hh"],
                 interpret=interpret, precision=kernel_precision())
-        else:
+        elif rnn_type == "GRU":
             from ..ops import gru_pallas
             outs, h_n = gru_pallas.gru_layer_bidir_fused(
+                x_t, m, stacked["w_ih"], stacked["b_ih"],
+                stacked["w_hh"], stacked["b_hh"],
+                interpret=interpret, precision=kernel_precision())
+            c_n = jnp.zeros_like(h_n)
+        else:
+            from ..ops import elman_pallas
+            outs, h_n = elman_pallas.rnn_layer_bidir_fused(
                 x_t, m, stacked["w_ih"], stacked["b_ih"],
                 stacked["w_hh"], stacked["b_hh"],
                 interpret=interpret, precision=kernel_precision())

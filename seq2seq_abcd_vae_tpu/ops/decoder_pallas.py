@@ -18,11 +18,12 @@ WHOLE time loop as one Pallas program:
   self-feedback via the same presampled noise layout, masking freezes
   finished rows (packed "shrinking batch" parity, model.py:175-177).
 
-Scope: LSTM and GRU cells (the reference's first-class -R choices,
-model.py:53,295), isotropic-Gaussian emission (k=2 parameter vectors),
-sample-mode feedback, no input dropout — the hot configurations.
-Other configurations (RNN/ESN cells, mean feedback, dropout,
-bidirectional) use the scan path; see models/decoder.py dispatch.
+Scope: LSTM, GRU, and Elman-RNN cells (the reference's trainable -R
+choices, model.py:53,295), isotropic-Gaussian emission (k=2 parameter
+vectors), sample-mode feedback, no input dropout — the hot
+configurations.  Other configurations (ESN cells, mean feedback,
+dropout, bidirectional) use the scan path; see models/decoder.py
+dispatch.
 
 The GRU kernels keep b_ih and b_hh separate (torch GRU semantics: the
 candidate gate is tanh(x_n + b_ih_n + r * (h @ w_hh_n + b_hh_n)) — the
@@ -628,6 +629,253 @@ def gru_decoder_loop(noise_prev, mask, prev_mask, w_cat, b_ih, b_hh,
     return _gru_loop_cvjp(
         noise_prev, mask, prev_mask, w_cat, b_ih.reshape(1, -1),
         b_hh.reshape(1, -1), b1_flat.reshape(1, -1), w2_mean, w2_logvar,
+        b2_flat.reshape(1, -1), w_ih, h0, interpret, precision)
+
+
+# ---------------------------------------------------------------------------
+# Elman-RNN variant.  Single tanh gate, no cell state; like LSTM the two
+# biases simply add (h2 = tanh(x W_ih + b_ih + h W_hh + b_hh),
+# torch.nn.RNNCell), so the kernel takes bias = b_ih + b_hh.
+# ---------------------------------------------------------------------------
+
+def _rnn_fwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
+                    b1_ref, w2m_ref, w2v_ref, b2_ref, wih_ref,
+                    h0_ref, out_ref, hs_ref, h_scr,
+                    *, hidden: int, m: int, precision=None):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:, :].astype(jnp.float32)
+
+    h = h_scr[:]
+    big = _mxu_dot(h, wcat_ref[:, :], precision)
+    hp = big[:, :hidden]
+    emh = jnp.tanh(big[:, hidden:] + b1_ref[:, :])
+    f_dim = w2m_ref.shape[1]
+    mean = (_mxu_dot(emh[:, :m], w2m_ref[:, :], precision)
+            + b2_ref[:, :f_dim])
+    logvar = (_mxu_dot(emh[:, m:], w2v_ref[:, :], precision)
+              + b2_ref[:, f_dim:])
+    x = mean + jnp.exp(0.5 * logvar) * noise_ref[0]
+    x = x * pmask_ref[0]  # zero first input per row
+    h2 = jnp.tanh(hp + _mxu_dot(x, wih_ref[:, :], precision)
+                  + bias_ref[:, :])
+    mt = mask_ref[0]
+    h = jnp.where(mt > 0, h2, h)
+    h_scr[:] = h
+    out_ref[0] = h2
+    hs_ref[0] = h
+
+
+def _rnn_bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
+                    b1_ref, w2m_ref, w2v_ref, b2_ref, wih_ref,
+                    hprev_ref, dout_ref,
+                    dwcat_ref, dbias_ref, db1_ref, dw2m_ref, dw2v_ref,
+                    db2_ref, dwih_ref, dh0_ref,
+                    dh_scr,
+                    *, hidden: int, m: int, precision=None):
+    s = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    @pl.when(s == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dwcat_ref[:, :] = jnp.zeros_like(dwcat_ref)
+        dbias_ref[:, :] = jnp.zeros_like(dbias_ref)
+        db1_ref[:, :] = jnp.zeros_like(db1_ref)
+        dw2m_ref[:, :] = jnp.zeros_like(dw2m_ref)
+        dw2v_ref[:, :] = jnp.zeros_like(dw2v_ref)
+        db2_ref[:, :] = jnp.zeros_like(db2_ref)
+        dwih_ref[:, :] = jnp.zeros_like(dwih_ref)
+
+    h_prev = hprev_ref[0].astype(jnp.float32)
+    mt = mask_ref[0]
+    pmt = pmask_ref[0]
+    eps = noise_ref[0]
+    f_dim = w2m_ref.shape[1]
+
+    # ---- forward recompute of this step
+    big = _mxu_dot(h_prev, wcat_ref[:, :], precision)
+    hp = big[:, :hidden]
+    emh = jnp.tanh(big[:, hidden:] + b1_ref[:, :])
+    mean = (_mxu_dot(emh[:, :m], w2m_ref[:, :], precision)
+            + b2_ref[:, :f_dim])
+    logvar = (_mxu_dot(emh[:, m:], w2v_ref[:, :], precision)
+              + b2_ref[:, f_dim:])
+    std = jnp.exp(0.5 * logvar)
+    x = (mean + std * eps) * pmt
+    h2 = jnp.tanh(hp + _mxu_dot(x, wih_ref[:, :], precision)
+                  + bias_ref[:, :])
+
+    # ---- adjoint of:  h2 = tanh(pre);  h = m ? h2 : h_prev
+    dh_carry = dh_scr[:]
+    dh2 = dout_ref[0] + jnp.where(mt > 0, dh_carry, 0.0)
+    dpre = dh2 * (1.0 - h2 * h2)
+    dh_prev = jnp.where(mt > 0, 0.0, dh_carry)
+
+    dx = _mxu_dot(dpre, wih_ref[:, :].T, precision)
+    dwih_ref[:, :] += _mxu_dot(x.T, dpre, precision)
+    dbias_ref[:, :] += jnp.sum(dpre, axis=0, keepdims=True)
+
+    dx = dx * pmt
+    dmean = dx
+    dlogvar = dx * 0.5 * std * eps
+    db2_ref[:, :f_dim] += jnp.sum(dmean, axis=0, keepdims=True)
+    db2_ref[:, f_dim:] += jnp.sum(dlogvar, axis=0, keepdims=True)
+    demh_m = _mxu_dot(dmean, w2m_ref[:, :].T, precision)
+    demh_v = _mxu_dot(dlogvar, w2v_ref[:, :].T, precision)
+    dw2m_ref[:, :] += _mxu_dot(emh[:, :m].T, dmean, precision)
+    dw2v_ref[:, :] += _mxu_dot(emh[:, m:].T, dlogvar, precision)
+    demh = jnp.concatenate([demh_m, demh_v], axis=-1)
+    dbig_em = demh * (1.0 - emh * emh)
+    db1_ref[:, :] += jnp.sum(dbig_em, axis=0, keepdims=True)
+
+    dbig = jnp.concatenate([dpre, dbig_em], axis=-1)
+    dh_prev = dh_prev + _mxu_dot(dbig, wcat_ref[:, :].T, precision)
+    dwcat_ref[:, :] += _mxu_dot(h_prev.T, dbig, precision)
+    dh_scr[:] = dh_prev
+
+    @pl.when(s == nt - 1)
+    def _():
+        dh0_ref[:, :] = dh_scr[:]
+
+
+def _rnn_specs(b, f, hidden, m, g_all):
+    stream3 = lambda shp: pl.BlockSpec(shp, lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    res = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                   memory_space=pltpu.VMEM)
+    ins = [
+        stream3((1, b, f)),            # noise_prev
+        stream3((1, b, 1)),            # mask
+        stream3((1, b, 1)),            # prev_mask
+        res((hidden, g_all)),          # wcat
+        res((1, hidden)),              # bias (b_ih + b_hh)
+        res((1, 2 * m)),               # b1
+        res((m, f)),                   # w2 mean
+        res((m, f)),                   # w2 logvar
+        res((1, 2 * f)),               # b2
+        res((f, hidden)),              # wih
+    ]
+    return ins, stream3, res
+
+
+def _rnn_fwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2,
+                  wih, h0, interpret, precision):
+    t, b, f = noise.shape
+    hidden = h0.shape[1]
+    g_all = wcat.shape[1]
+    m = (g_all - hidden) // 2
+    ins, stream3, res = _rnn_specs(b, f, hidden, m, g_all)
+    outs, hs = pl.pallas_call(
+        functools.partial(_rnn_fwd_kernel, hidden=hidden, m=m,
+                          precision=precision),
+        grid=(t,),
+        in_specs=ins + [res((b, hidden))],
+        out_specs=[stream3((1, b, hidden)), stream3((1, b, hidden))],
+        out_shape=[jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+                   jax.ShapeDtypeStruct((t, b, hidden), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih, h0)
+    return outs, hs
+
+
+def _rnn_bwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2,
+                  wih, h0, hs, douts, interpret, precision):
+    t, b, f = noise.shape
+    hidden = h0.shape[1]
+    g_all = wcat.shape[1]
+    m = (g_all - hidden) // 2
+    ins, stream3, res = _rnn_specs(b, f, hidden, m, g_all)
+    h_prev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
+    rev3 = lambda shp: pl.BlockSpec(shp, lambda i: (t - 1 - i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    rev_ins = [
+        rev3((1, b, f)),               # noise_prev
+        rev3((1, b, 1)),               # mask
+        rev3((1, b, 1)),               # prev_mask
+    ] + ins[3:] + [
+        rev3((1, b, hidden)),          # h_prev
+        rev3((1, b, hidden)),          # dout
+    ]
+    out_specs = [
+        res((hidden, g_all)), res((1, hidden)),
+        res((1, 2 * m)), res((m, f)), res((m, f)), res((1, 2 * f)),
+        res((f, hidden)), res((b, hidden)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(wcat.shape, jnp.float32),
+        jax.ShapeDtypeStruct((1, hidden), jnp.float32),
+        jax.ShapeDtypeStruct((1, 2 * m), jnp.float32),
+        jax.ShapeDtypeStruct(w2m.shape, jnp.float32),
+        jax.ShapeDtypeStruct(w2v.shape, jnp.float32),
+        jax.ShapeDtypeStruct((1, 2 * f), jnp.float32),
+        jax.ShapeDtypeStruct(wih.shape, jnp.float32),
+        jax.ShapeDtypeStruct((b, hidden), jnp.float32),
+    ]
+    grads = pl.pallas_call(
+        functools.partial(_rnn_bwd_kernel, hidden=hidden, m=m,
+                          precision=precision),
+        grid=(t,),
+        in_specs=rev_ins,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
+      h_prev, douts)
+    return grads
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def _rnn_loop_cvjp(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2,
+                   wih, h0, interpret, precision):
+    outs, hs = _rnn_fwd_call(noise, mask, pmask, wcat, bias, b1, w2m,
+                             w2v, b2, wih, h0, interpret, precision)
+    return outs
+
+
+def _rnn_loop_fwd(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2,
+                  wih, h0, interpret, precision):
+    outs, hs = _rnn_fwd_call(noise, mask, pmask, wcat, bias, b1, w2m,
+                             w2v, b2, wih, h0, interpret, precision)
+    return outs, (noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2,
+                  wih, h0, hs)
+
+
+def _rnn_loop_bwd(interpret, precision, residuals, douts):
+    (noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih, h0,
+     hs) = residuals
+    (dwcat, dbias, db1, dw2m, dw2v, db2, dwih,
+     dh0) = _rnn_bwd_call(noise, mask, pmask, wcat, bias, b1, w2m,
+                          w2v, b2, wih, h0, hs, douts, interpret,
+                          precision)
+    return (jnp.zeros_like(noise), jnp.zeros_like(mask),
+            jnp.zeros_like(pmask), dwcat, dbias.reshape(-1),
+            db1.reshape(-1), dw2m, dw2v, db2.reshape(-1), dwih, dh0)
+
+
+_rnn_loop_cvjp.defvjp(_rnn_loop_fwd, _rnn_loop_bwd)
+
+
+def rnn_decoder_loop(noise_prev, mask, prev_mask, w_cat, bias, b1_flat,
+                     w2_mean, w2_logvar, b2_flat, w_ih, h0,
+                     interpret: bool = False, precision=None):
+    """Elman-RNN analogue of ``decoder_loop``.
+
+    Same streaming layout; w_cat is (H, H + 2m), bias = b_ih + b_hh
+    (torch.nn.RNNCell: the biases simply add inside the tanh).  No cell
+    state.  Returns outs (T, B, H), the PRE-mask candidate h2 per step.
+    """
+    return _rnn_loop_cvjp(
+        noise_prev, mask, prev_mask, w_cat, bias.reshape(1, -1),
+        b1_flat.reshape(1, -1), w2_mean, w2_logvar,
         b2_flat.reshape(1, -1), w_ih, h0, interpret, precision)
 
 

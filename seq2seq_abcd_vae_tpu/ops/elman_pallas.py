@@ -1,0 +1,408 @@
+"""Fused Pallas TPU kernels for full masked Elman-RNN layers (fwd + bwd).
+
+``-R RNN`` (torch.nn.RNN, tanh nonlinearity) is the third first-class
+cell choice in the reference (ABCD-VAE/modules/model.py:53,287-300).
+Rounds 2-3 gave LSTM and GRU encoder layers whole-loop Pallas kernels
+(ops/lstm_pallas.py, ops/gru_pallas.py); these complete the cell matrix
+so every trainable recurrent cell takes the same kernel path:
+
+- ``rnn_layer``: one direction over precomputed projected inputs
+  ``xp = x @ W_ih + b_ih`` streamed per grid step, recurrent weights
+  pinned in VMEM for the whole layer;
+- ``rnn_layer_bidir_fused``: both directions in ONE kernel over the RAW
+  (T, B, F) input — the input projection is computed per-step in VMEM so
+  the projected tensor never exists in HBM, and the direction-1 time
+  reversal is done by BlockSpec index maps.
+
+torch.nn.RNN semantics (single tanh gate):
+
+    h' = tanh(x W_ih + b_ih + h W_hh + b_hh)
+
+Masking freezes finished rows (packed "shrinking batch" semantics,
+reference model.py:175-177).  Both kernels are wired into
+``jax.custom_vjp`` with hand-derived Pallas backward passes that
+recompute the step nonlinearity from the saved h trajectory.  Backend
+choice is measured at runtime (utils/backend_select.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .mxu import mxu_dot as _mxu_dot
+
+
+# ---------------------------------------------------------------------------
+# Unidirectional layer over projected inputs (mirror of gru_layer)
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(xp_ref, mask_ref, w_ref, b_ref, out_ref, hn_ref, h_scr,
+                *, precision=None):
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+
+    h = h_scr[:]
+    h2 = jnp.tanh(xp_ref[0] + _mxu_dot(h, w_ref[:, :], precision)
+                  + b_ref[:, :])
+    m = mask_ref[0]
+    h = jnp.where(m > 0, h2, h)
+    h_scr[:] = h
+    out_ref[0] = h
+
+    @pl.when(t == nt - 1)
+    def _():
+        hn_ref[:, :] = h
+
+
+def _bwd_kernel(xp_ref, mask_ref, w_ref, b_ref, hprev_ref, dout_ref,
+                dhn_ref, dxp_ref, dw_ref, db_ref, dh_scr,
+                *, precision=None):
+    """Reverse-order grid: program s processes step t = T-1-s."""
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        dh_scr[:] = dhn_ref[:, :]
+        dw_ref[:, :] = jnp.zeros_like(dw_ref)
+        db_ref[:, :] = jnp.zeros_like(db_ref)
+
+    h_prev = hprev_ref[0]
+    m = mask_ref[0] > 0
+    h2 = jnp.tanh(xp_ref[0] + _mxu_dot(h_prev, w_ref[:, :], precision)
+                  + b_ref[:, :])
+
+    dh = dh_scr[:] + dout_ref[0]
+    dpre = jnp.where(m, dh, 0.0) * (1.0 - h2 * h2)
+    dh_prev = (jnp.where(m, 0.0, dh)
+               + _mxu_dot(dpre, w_ref[:, :].T, precision))
+
+    dxp_ref[0] = dpre
+    dw_ref[:, :] += _mxu_dot(h_prev.T, dpre, precision)
+    db_ref[:, :] += jnp.sum(dpre, axis=0, keepdims=True)
+    dh_scr[:] = dh_prev
+
+
+def _fwd_call(xp, mask_f, w_hh, b_hh, interpret, precision):
+    t, b, g = xp.shape
+    hidden = w_hh.shape[0]
+    b_row = b_hh.reshape(1, g)
+    outs, h_n = pl.pallas_call(
+        functools.partial(_fwd_kernel, precision=precision),
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, b, g), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, g), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b, hidden), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, hidden), xp.dtype),
+            jax.ShapeDtypeStruct((b, hidden), xp.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
+        interpret=interpret,
+    )(xp, mask_f, w_hh, b_row)
+    return outs, h_n
+
+
+def _bwd_call(xp, mask_f, w_hh, b_hh, outs, douts, dh_n, interpret,
+              precision):
+    t, b, g = xp.shape
+    hidden = w_hh.shape[0]
+    b_row = b_hh.reshape(1, g)
+    zeros_state = jnp.zeros((1, b, hidden), xp.dtype)
+    h_prev = jnp.concatenate([zeros_state, outs[:-1]], axis=0)
+
+    rev = lambda i: (t - 1 - i, 0, 0)
+    dxp, dw, db = pl.pallas_call(
+        functools.partial(_bwd_kernel, precision=precision),
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, b, g), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, 1), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, g), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b, g), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, g), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, g), xp.dtype),
+            jax.ShapeDtypeStruct((hidden, g), xp.dtype),
+            jax.ShapeDtypeStruct((1, g), xp.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
+        interpret=interpret,
+    )(xp, mask_f, w_hh, b_row, h_prev, douts, dh_n)
+    return dxp, dw, db.reshape(-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _rnn_layer_cvjp(xp, mask_f, w_hh, b_hh, interpret, precision):
+    outs, h_n = _fwd_call(xp, mask_f, w_hh, b_hh, interpret, precision)
+    return outs, h_n
+
+
+def _rnn_layer_fwd(xp, mask_f, w_hh, b_hh, interpret, precision):
+    outs, h_n = _fwd_call(xp, mask_f, w_hh, b_hh, interpret, precision)
+    return (outs, h_n), (xp, mask_f, w_hh, b_hh, outs)
+
+
+def _rnn_layer_bwd(interpret, precision, residuals, grads):
+    xp, mask_f, w_hh, b_hh, outs = residuals
+    douts, dh_n = grads
+    dxp, dw, db = _bwd_call(xp, mask_f, w_hh, b_hh, outs, douts, dh_n,
+                            interpret, precision)
+    return dxp, jnp.zeros_like(mask_f), dw, db
+
+
+_rnn_layer_cvjp.defvjp(_rnn_layer_fwd, _rnn_layer_bwd)
+
+
+def rnn_layer(xp, mask, w_hh, b_hh, interpret=False, precision=None):
+    """Masked Elman-RNN layer over time-major projected inputs.
+
+    Args:
+      xp: (T, B, H) precomputed x @ W_ih + b_ih.
+      mask: (T, B) validity (any dtype; True while t < length).
+      w_hh: (H, H) recurrent weights.
+      b_hh: (H,) recurrent bias.
+
+    Returns (outs (T, B, H), h_n (B, H)) — identical to the scan path in
+    models/rnn.run_rnn_layer (forward direction), differentiable through
+    jax.grad (custom VJP, backward also Pallas).
+    """
+    return _rnn_layer_cvjp(xp, mask.astype(xp.dtype)[..., None], w_hh,
+                           b_hh, interpret, precision)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused bidirectional layer over RAW inputs (mirror of
+# gru_layer_bidir_fused): input projection inside the kernel, time
+# reversal via index maps, dW_ih/db_ih/dx computed in-kernel.
+# ---------------------------------------------------------------------------
+
+
+def _fwdf_kernel(xf_ref, xb_ref, mask_ref, wih_ref, bih_ref, whh_ref,
+                 bhh_ref, out_ref, hn_ref, h_scr, *, precision=None):
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+
+    for d in range(2):
+        x_t = xf_ref[0] if d == 0 else xb_ref[0]
+        h = h_scr[d]
+        h2 = jnp.tanh(_mxu_dot(x_t, wih_ref[d], precision) + bih_ref[d]
+                      + _mxu_dot(h, whh_ref[d], precision) + bhh_ref[d])
+        m = mask_ref[0, d]
+        h = jnp.where(m > 0, h2, h)
+        h_scr[d] = h
+        out_ref[0, d] = h
+
+        @pl.when(t == nt - 1)
+        def _():
+            hn_ref[d] = h
+
+
+def _bwdf_kernel(xr_ref, xf_ref, mask_ref, wih_ref, bih_ref, whh_ref,
+                 bhh_ref, hprev_ref, dout_ref, dhn_ref,
+                 dx0_ref, dx1_ref, dwih_ref, dbih_ref, dwhh_ref,
+                 dbhh_ref, dh_scr, *, precision=None):
+    """Grid step s handles recurrence position tau = T-1-s of BOTH
+    directions (each in its own time axis); same streaming scheme as
+    gru_pallas._bwdf_kernel."""
+    s = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    @pl.when(s == 0)
+    def _():
+        dh_scr[:] = dhn_ref[:, :, :]
+        dwih_ref[:, :, :] = jnp.zeros_like(dwih_ref)
+        dbih_ref[:, :, :] = jnp.zeros_like(dbih_ref)
+        dwhh_ref[:, :, :] = jnp.zeros_like(dwhh_ref)
+        dbhh_ref[:, :, :] = jnp.zeros_like(dbhh_ref)
+
+    first_step = s == nt - 1  # tau == 0
+    for d in range(2):
+        x_t = xr_ref[0] if d == 0 else xf_ref[0]
+        zero = jnp.zeros_like(hprev_ref[0, d])
+        h_prev = jnp.where(first_step, zero, hprev_ref[0, d])
+        m = mask_ref[0, d] > 0
+        h2 = jnp.tanh(
+            _mxu_dot(x_t, wih_ref[d], precision) + bih_ref[d]
+            + _mxu_dot(h_prev, whh_ref[d], precision) + bhh_ref[d])
+
+        dh = dh_scr[d] + dout_ref[0, d]
+        dpre = jnp.where(m, dh, 0.0) * (1.0 - h2 * h2)
+        dh_prev = (jnp.where(m, 0.0, dh)
+                   + _mxu_dot(dpre, whh_ref[d].T, precision))
+        dx = _mxu_dot(dpre, wih_ref[d].T, precision)
+        if d == 0:
+            dx0_ref[0] = dx
+        else:
+            dx1_ref[0] = dx
+        dwih_ref[d] += _mxu_dot(x_t.T, dpre, precision)
+        dbih_ref[d] += jnp.sum(dpre, axis=0, keepdims=True)
+        dwhh_ref[d] += _mxu_dot(h_prev.T, dpre, precision)
+        dbhh_ref[d] += jnp.sum(dpre, axis=0, keepdims=True)
+        dh_scr[d] = dh_prev
+
+
+def _fwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh, interpret, precision):
+    t, b, f_dim = x.shape
+    hidden = w_hh.shape[1]
+    g = w_hh.shape[2]
+    bih_row = b_ih.reshape(2, 1, g)
+    bhh_row = b_hh.reshape(2, 1, g)
+    res = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                   memory_space=pltpu.VMEM)
+    fwd = lambda shp: pl.BlockSpec(shp, lambda i: (i,) + (0,) *
+                                   (len(shp) - 1),
+                                   memory_space=pltpu.VMEM)
+    bwd = lambda shp: pl.BlockSpec(shp, lambda i: (t - 1 - i,) + (0,) *
+                                   (len(shp) - 1),
+                                   memory_space=pltpu.VMEM)
+    outs, h_n = pl.pallas_call(
+        functools.partial(_fwdf_kernel, precision=precision),
+        grid=(t,),
+        in_specs=[fwd((1, b, f_dim)), bwd((1, b, f_dim)),
+                  fwd((1, 2, b, 1)),
+                  res((2, f_dim, g)), res((2, 1, g)),
+                  res((2, hidden, g)), res((2, 1, g))],
+        out_specs=[fwd((1, 2, b, hidden)), res((2, b, hidden))],
+        out_shape=[jax.ShapeDtypeStruct((t, 2, b, hidden), x.dtype),
+                   jax.ShapeDtypeStruct((2, b, hidden), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((2, b, hidden), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, x, mask_f, w_ih, bih_row, w_hh, bhh_row)
+    return outs, h_n
+
+
+def _bwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh, outs, douts, dh_n,
+               interpret, precision):
+    t, b, f_dim = x.shape
+    hidden = w_hh.shape[1]
+    g = w_hh.shape[2]
+    bih_row = b_ih.reshape(2, 1, g)
+    bhh_row = b_hh.reshape(2, 1, g)
+    res = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                   memory_space=pltpu.VMEM)
+    fwd = lambda shp: pl.BlockSpec(shp, lambda i: (i,) + (0,) *
+                                   (len(shp) - 1),
+                                   memory_space=pltpu.VMEM)
+    rev = lambda shp: pl.BlockSpec(shp, lambda i: (t - 1 - i,) + (0,) *
+                                   (len(shp) - 1),
+                                   memory_space=pltpu.VMEM)
+    # block tau-1, clamped at 0; the kernel substitutes zeros at tau==0
+    shift = lambda shp: pl.BlockSpec(
+        shp, lambda i: (jnp.maximum(t - 2 - i, 0),) + (0,) *
+        (len(shp) - 1),
+        memory_space=pltpu.VMEM)
+    dx0, dx1, dwih, dbih, dwhh, dbhh = pl.pallas_call(
+        functools.partial(_bwdf_kernel, precision=precision),
+        grid=(t,),
+        in_specs=[rev((1, b, f_dim)), fwd((1, b, f_dim)),
+                  rev((1, 2, b, 1)),
+                  res((2, f_dim, g)), res((2, 1, g)),
+                  res((2, hidden, g)), res((2, 1, g)),
+                  shift((1, 2, b, hidden)),
+                  rev((1, 2, b, hidden)),
+                  res((2, b, hidden))],
+        out_specs=[rev((1, b, f_dim)), fwd((1, b, f_dim)),
+                   res((2, f_dim, g)), res((2, 1, g)),
+                   res((2, hidden, g)), res((2, 1, g))],
+        out_shape=[jax.ShapeDtypeStruct((t, b, f_dim), x.dtype),
+                   jax.ShapeDtypeStruct((t, b, f_dim), x.dtype),
+                   jax.ShapeDtypeStruct((2, f_dim, g), x.dtype),
+                   jax.ShapeDtypeStruct((2, 1, g), x.dtype),
+                   jax.ShapeDtypeStruct((2, hidden, g), x.dtype),
+                   jax.ShapeDtypeStruct((2, 1, g), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((2, b, hidden), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, x, mask_f, w_ih, bih_row, w_hh, bhh_row, outs, douts, dh_n)
+    return (dx0 + dx1, dwih, dbih.reshape(2, -1), dwhh,
+            dbhh.reshape(2, -1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _rnn_bidir_fused_cvjp(x, mask_f, w_ih, b_ih, w_hh, b_hh, interpret,
+                          precision):
+    outs, h_n = _fwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh, interpret,
+                           precision)
+    return outs, h_n
+
+
+def _rnn_bidir_fused_fwd(x, mask_f, w_ih, b_ih, w_hh, b_hh, interpret,
+                         precision):
+    outs, h_n = _fwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh, interpret,
+                           precision)
+    return (outs, h_n), (x, mask_f, w_ih, b_ih, w_hh, b_hh, outs)
+
+
+def _rnn_bidir_fused_bwd(interpret, precision, residuals, grads):
+    x, mask_f, w_ih, b_ih, w_hh, b_hh, outs = residuals
+    douts, dh_n = grads
+    dx, dwih, dbih, dwhh, dbhh = _bwdf_call(
+        x, mask_f, w_ih, b_ih, w_hh, b_hh, outs, douts, dh_n, interpret,
+        precision)
+    return dx, jnp.zeros_like(mask_f), dwih, dbih, dwhh, dbhh
+
+
+_rnn_bidir_fused_cvjp.defvjp(_rnn_bidir_fused_fwd, _rnn_bidir_fused_bwd)
+
+
+def rnn_layer_bidir_fused(x, mask, w_ih, b_ih, w_hh, b_hh,
+                          interpret=False, precision=None):
+    """Fully fused bidirectional masked Elman-RNN layer over RAW inputs.
+
+    Args:
+      x: (T, B, F) time-major UNprojected inputs (original time order;
+        the kernel's index maps read direction 1 reversed).
+      mask: (T, 2, B, 1) validity, direction 1 time-flipped (same layout
+        as lstm_layer_bidir_fused).
+      w_ih: (2, F, H); b_ih: (2, H); w_hh: (2, H, H); b_hh: (2, H).
+
+    Returns (outs (T, 2, B, H) — direction 1 in ITS OWN (flipped) time
+    order, h_n (2, B, H)); numerically matches
+    models/rnn.run_rnn_layer_bidir's scan.  Gradients flow to x and all
+    four weights (custom VJP, both passes Pallas).
+    """
+    return _rnn_bidir_fused_cvjp(x, mask.astype(x.dtype), w_ih, b_ih,
+                                 w_hh, b_hh, interpret, precision)

@@ -249,6 +249,130 @@ def test_gru_gradients_match_scan():
                                    rtol=5e-4, atol=5e-5)
 
 
+# ---------------------------------------------------------------------------
+# Elman-RNN kernel (-R RNN, the third trainable cell, model.py:53,295)
+# ---------------------------------------------------------------------------
+
+def setup_rnn():
+    cfg = DecoderConfig(output_size=F, rnn_hidden_size=H, mlp_hidden_size=M,
+                        feature_size=4, rnn_type="RNN")
+    params = dec.decoder_init(jax.random.PRNGKey(11), cfg)
+    rng = np.random.default_rng(12)
+    h0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    c0 = jnp.zeros((B, H), jnp.float32)
+    lengths = jnp.asarray([T, 4, 2])
+    mask = jnp.arange(T)[None, :] < lengths[:, None]
+    key = jax.random.PRNGKey(13)
+    return cfg, params, h0, c0, mask, key
+
+
+def rnn_kernel_inputs(cfg, params, h0, mask, key):
+    from seq2seq_abcd_vae_tpu import distributions as dist
+    d = dist.choose_distribution(cfg.emission_distr_name)
+    cell = params["rnn_cell"]
+    em = params["emission_sampler"]["to_parameters"]
+    t = mask.shape[1]
+    mask_t = jnp.swapaxes(mask, 0, 1)[..., None].astype(jnp.float32)
+    prev_mask_t = jnp.concatenate(
+        [jnp.zeros_like(mask_t[:1]), mask_t[:-1]], axis=0)
+    k_noise, _ = jax.random.split(key)
+    noise_t = d.noise(k_noise, (t, B, F), h0.dtype)
+    noise_prev_t = jnp.concatenate(
+        [jnp.zeros_like(noise_t[:1]), noise_t[:-1]], axis=0)
+    w1 = em["lin1"]["w"]
+    k, h_in, m = w1.shape
+    w1_flat = jnp.moveaxis(w1, 0, 1).reshape(h_in, k * m)
+    w_cat = jnp.concatenate([cell["w_hh"], w1_flat], axis=1)
+    return dict(
+        noise_prev=noise_prev_t, mask=mask_t, prev_mask=prev_mask_t,
+        w_cat=w_cat, bias=cell["b_ih"] + cell["b_hh"],
+        b1_flat=em["lin1"]["b"].reshape(-1),
+        w2_mean=em["lin2"]["w"][0], w2_logvar=em["lin2"]["w"][1],
+        b2_flat=em["lin2"]["b"].reshape(-1),
+        w_ih=cell["w_ih"], h0=h0)
+
+
+def test_rnn_forward_matches_scan():
+    cfg, params, h0, c0, mask, key = setup_rnn()
+    rnn_out, _, _ = dec._run_direction(
+        cfg, params["rnn_cell"], params["emission_sampler"], h0, c0, mask,
+        key, True, "sample")
+    ki = rnn_kernel_inputs(cfg, params, h0, mask, key)
+    outs = decoder_pallas.rnn_decoder_loop(interpret=True, **ki)
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(outs, 0, 1)),
+                               np.asarray(rnn_out), rtol=2e-5, atol=2e-6)
+
+
+def test_rnn_dispatch_through_decoder_apply():
+    import os
+
+    from seq2seq_abcd_vae_tpu.utils import backend_select
+
+    cfg, params, _, _, _, _ = setup_rnn()
+    rng = np.random.default_rng(14)
+    feats = jnp.asarray(rng.normal(size=(B, 4)).astype(np.float32))
+    lengths = jnp.asarray([T, 4, 2])
+    gt = jnp.asarray(rng.normal(size=(B, T, F)).astype(np.float32))
+    off = np.zeros((B, T), np.float32)
+    off[0, T - 1] = 1.0
+    off[1, 3] = 1.0
+    off[2, 1] = 1.0
+    off = jnp.asarray(off)
+
+    def run_with(backend):
+        old = os.environ.get("SEQ2SEQ_RNN_BACKEND")
+        os.environ["SEQ2SEQ_RNN_BACKEND"] = backend
+        backend_select.resolve_rnn_backend.cache_clear()
+        try:
+            return dec.decoder_apply(
+                params, cfg, feats, lengths, T, ground_truth_out=gt,
+                ground_truth_offset=off, key=jax.random.PRNGKey(5),
+                deterministic=False, emission_mode="sample")
+        finally:
+            if old is None:
+                del os.environ["SEQ2SEQ_RNN_BACKEND"]
+            else:
+                os.environ["SEQ2SEQ_RNN_BACKEND"] = old
+            backend_select.resolve_rnn_backend.cache_clear()
+
+    a = run_with("scan")
+    b = run_with("pallas")
+    np.testing.assert_allclose(float(b.emission_loss),
+                               float(a.emission_loss), rtol=1e-4)
+    np.testing.assert_allclose(float(b.offset_loss),
+                               float(a.offset_loss), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(b.out), np.asarray(a.out),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_rnn_gradients_match_scan():
+    cfg, params, h0, c0, mask, key = setup_rnn()
+
+    def loss_scan(cell, emsampler, h0):
+        rnn_out, _, _ = dec._run_direction(cfg, cell, emsampler, h0, c0,
+                                           mask, key, True, "sample")
+        return jnp.sum(rnn_out * jnp.tanh(rnn_out))
+
+    def loss_kernel(cell, emsampler, h0):
+        p2 = dict(params)
+        p2["rnn_cell"] = cell
+        p2["emission_sampler"] = emsampler
+        ki = rnn_kernel_inputs(cfg, p2, h0, mask, key)
+        outs = decoder_pallas.rnn_decoder_loop(interpret=True, **ki)
+        rnn_out = jnp.swapaxes(outs, 0, 1)
+        return jnp.sum(rnn_out * jnp.tanh(rnn_out))
+
+    args = (params["rnn_cell"], params["emission_sampler"], h0)
+    g_scan = jax.grad(loss_scan, argnums=(0, 1, 2))(*args)
+    g_kern = jax.grad(loss_kernel, argnums=(0, 1, 2))(*args)
+    flat_s, _ = jax.tree_util.tree_flatten(g_scan)
+    flat_k, _ = jax.tree_util.tree_flatten(g_kern)
+    assert len(flat_s) == len(flat_k)
+    for a, b in zip(flat_s, flat_k):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)
+
+
 def test_gradients_match_scan():
     cfg, params, h0, c0, mask, key = setup()
 
