@@ -48,6 +48,13 @@ def main(mode: str, argv=None) -> None:
                             window=parameters.fft_window_type)
     dataset = data_parser.get_data(channel=parameters.channel)
 
+    if parameters.save_format == "npz":
+        encoder.encode_dataset_npz(dataset, save_path, frontend,
+                                   parameters.epsilon,
+                                   parameters.data_normalizer, mode=mode,
+                                   batch_size=parameters.batch_size)
+        return
+
     if mode == "params":
         if parameters.parameter_names is None:
             parameter_ix2name = {}

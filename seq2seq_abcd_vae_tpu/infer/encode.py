@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import functools
 import os
+import queue
+import threading
 from typing import Optional
 
 import jax
@@ -51,48 +53,89 @@ def _annotation_suffixes(df_ann: pd.DataFrame) -> dict:
         out = {}
         for line in df_ann.to_csv(header=False, index=True).splitlines():
             ix, rest = line.split(",", 1)
-            out[int(ix)] = "," + rest
+            out[int(ix)] = ("," + rest).encode()
         return out
     out = {}
     for ix in df_ann.index:
         row = df_ann.loc[[ix]].to_csv(header=False, index=False)
         if row.endswith("\n"):
             row = row[:-1]
-        out[ix] = "," + row
+        out[ix] = ("," + row).encode()
     return out
 
 
 def _format_rows(ixs, values: np.ndarray, suffix: dict,
-                 var_cache: dict) -> str:
+                 var_cache: dict) -> bytes:
     """Vectorized long-format CSV assembly for one batch.
 
     Produces the text the reference's melt(+merge).to_csv chain would,
-    ordered var-major (all dimension-0 rows, then dimension-1, ...).
-    The hot cost is the float->shortest-repr conversion, done C-side by
-    numpy's dragon4 via ``astype('U16')`` — byte-identical to Python's
-    ``str(np.float32(...))`` — instead of a Python loop over K*B cells
-    (K=128 made that loop dominate end-to-end encode wall time).
-    ``var_cache`` memoizes the per-K ``"<var>,"`` column across batches.
+    ordered var-major (all dimension-0 rows, then dimension-1, ...), as
+    BYTES — the consumer writes to a binary file handle, because
+    TextIOWrapper's utf-8 encode of multi-MB strings was measured at
+    half the end-to-end encode wall time (the content is pure ASCII so
+    the encode is an identity copy).  The other hot cost is the
+    float->shortest-repr conversion, done C-side by numpy's dragon4 via
+    ``astype('U16')`` — byte-identical to Python's ``str(np.float32(...))``
+    — instead of a Python loop over K*B cells (K=128 made that loop
+    dominate end-to-end encode wall time).  ``var_cache`` memoizes the
+    per-K ``b"<var>,"`` column across batches.
     """
     n = len(ixs)
     num_vars = values.shape[1]
     # 'U16' covers the longest float32 shortest-repr ('-1.1754944e-38');
-    # float64 (plain-VAE params path) needs up to 24.
-    width = "U16" if values.dtype == np.float32 else "U32"
-    vals = np.ascontiguousarray(values.T).reshape(-1).astype(width)
-    pre = np.char.add(np.asarray([str(ix) for ix in ixs], dtype="U"), ",")
+    # float64 (plain-VAE params path) needs up to 24.  dragon4 only
+    # emits to unicode; the S-cast afterwards is a cheap narrowing copy.
+    width = ("U16", "S16") if values.dtype == np.float32 else ("U32", "S32")
+    vals = (np.ascontiguousarray(values.T).reshape(-1)
+            .astype(width[0]).astype(width[1]))
+    pre = np.char.add(
+        np.asarray([str(ix).encode() for ix in ixs], dtype="S"), b",")
     var_part = var_cache.get(num_vars)
     if var_part is None:
-        var_part = np.char.add(np.arange(num_vars).astype("U12"), ",")
+        var_part = np.char.add(
+            np.arange(num_vars).astype("U12").astype("S12"), b",")
         var_cache[num_vars] = var_part
     head = np.char.add(np.tile(pre, num_vars), np.repeat(var_part, n))
     body = np.char.add(head, vals)
     if suffix:
         sfx = np.asarray(
             [suffix[ix] if ix in suffix else suffix[int(ix)]
-             for ix in ixs], dtype="U")
+             for ix in ixs], dtype="S")
         body = np.char.add(body, np.tile(sfx, num_vars))
-    return "\n".join(body.tolist()) + "\n"
+    return b"\n".join(body.tolist()) + b"\n"
+
+
+def _prefetch(gen, depth: int = 64):
+    """Run a generator in a worker thread, buffering up to ``depth`` items.
+
+    The encode pipeline's producer side (device dispatch + tunnel fetch,
+    `_pipelined`) blocks in C with the GIL released, while the consumer
+    side (CSV formatting + file writes) is pure host CPU; running them in
+    one thread serializes tunnel latency with formatting.  One-thread
+    lookahead overlaps them — the fetch of chunk n proceeds while chunk
+    n-1 is being formatted.  Exceptions in the producer re-raise at the
+    consumer's next pull."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(sentinel)
+        except BaseException as e:  # surfaced at the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True,
+                         name="encode-prefetch")
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def rename_existing_file(filepath: str) -> None:
@@ -249,11 +292,47 @@ class Encoder(Learner):
             # so merged text matches the melt+merge+to_csv output exactly
             suffix = _annotation_suffixes(df_ann)
         var_cache: dict = {}
-        with open(save_path, "w") as f:
-            f.write(",".join(header) + "\n")
-            for batch, values in self._pipelined(dataloader, statics,
-                                                 mode):
+        with open(save_path, "wb") as f:
+            f.write((",".join(header) + "\n").encode())
+            for batch, values in _prefetch(
+                    self._pipelined(dataloader, statics, mode)):
                 f.write(_format_rows(batch.ixs, values, suffix, var_cache))
+
+    def encode_dataset_npz(self, dataset, save_path: str,
+                           frontend: FrontendSpec, epsilon: float,
+                           normalizer: float, mode: str = "probs",
+                           batch_size: int = 1) -> None:
+        """Binary sidecar (strict TPU extension, ``--save_format npz``).
+
+        Stores ``data_ix`` (N,) int64 in stream order plus the dense
+        value matrix — ``values`` (N, K) for the abcd heads, or
+        ``mean``/``log_variance`` (N, F) for the plain-VAE params mode —
+        exactly the numbers the CSV writer formats, without the
+        float->text round-trip (the CSV's shortest-repr float32 text
+        parses back bit-identically, so either artifact reconstructs the
+        other)."""
+        statics = self._statics(frontend, epsilon, normalizer)
+        dataloader = DataLoader(dataset, frontend, batch_size=batch_size,
+                                pad_to_batch_size=False)
+        rename_existing_file(save_path)
+        ix_parts, val_parts = [], []
+        for batch, values in _prefetch(
+                self._pipelined(dataloader, statics, mode)):
+            ix_parts.append(np.asarray(batch.ixs))
+            val_parts.append(values)
+        ixs = np.concatenate(ix_parts) if ix_parts else np.zeros(0, int)
+        if mode == "params":
+            names = ["mean", "log_variance"]
+            arrs = {n: np.concatenate([p[j] for p in val_parts])
+                    if val_parts else np.zeros((0, 0), np.float32)
+                    for j, n in enumerate(names)}
+        else:
+            arrs = {"values": np.concatenate(val_parts) if val_parts
+                    else np.zeros((0, 0), np.float32)}
+        # a file handle keeps the exact -S path (np.savez appends .npz
+        # to extension-less path strings)
+        with open(save_path, "wb") as f:
+            np.savez(f, data_ix=ixs, mode=np.asarray(mode), **arrs)
 
     def encode_dataset_params(self, dataset, frontend: FrontendSpec,
                               epsilon: float, normalizer: float,
@@ -266,8 +345,8 @@ class Encoder(Learner):
         dataloader = DataLoader(dataset, frontend, batch_size=batch_size,
                                 pad_to_batch_size=False)
         encoded = []
-        for batch, param_tuple in self._pipelined(dataloader, statics,
-                                                  "params"):
+        for batch, param_tuple in _prefetch(
+                self._pipelined(dataloader, statics, "params")):
             for parameter_ix, p in enumerate(param_tuple):
                 name = parameter_ix2name.get(parameter_ix, parameter_ix)
                 for row_ix, data_ix in enumerate(batch.ixs):

@@ -107,6 +107,33 @@ def test_encode_features_csv(abcd_run, toy, tmp_path):
     assert len(df) == 8 * 6  # feature_dim columns
 
 
+def test_encode_npz_sidecar(abcd_run, plain_run, toy, tmp_path):
+    """--save_format npz stores the exact float32 values the CSV
+    formats (shortest-repr text round-trips bit-identically)."""
+    csv_out = tmp_path / "p.csv"
+    npz_out = tmp_path / "p.npz"
+    args = [str(abcd_run / "checkpoint.pt"), str(toy), str(toy / "ann.csv"),
+            "11.0", "-b", "4"]
+    encode_main("probs", args + ["-S", str(csv_out)])
+    encode_main("probs", args + ["-S", str(npz_out), "--save_format",
+                                 "npz"])
+    z = np.load(npz_out)
+    assert str(z["mode"]) == "probs"
+    df = pd.read_csv(csv_out)
+    assert sorted(z["data_ix"].tolist()) == sorted(df.data_ix.unique())
+    for row, ix in enumerate(z["data_ix"]):
+        sub = df[df.data_ix == ix].sort_values("category_ix")
+        np.testing.assert_array_equal(
+            z["values"][row], sub.prob.to_numpy().astype(np.float32))
+    # plain-VAE params mode: mean/log_variance arrays
+    pz = tmp_path / "params.npz"
+    encode_main("params", [str(plain_run / "checkpoint.pt"), str(toy),
+                           str(toy / "ann.csv"), "11.0", "-S", str(pz),
+                           "-b", "4", "--save_format", "npz"])
+    zp = np.load(pz)
+    assert zp["mean"].shape == zp["log_variance"].shape == (8, 6)
+
+
 def test_probs_softmax_of_logits(abcd_run, toy, tmp_path):
     p_out, l_out = tmp_path / "p.csv", tmp_path / "l.csv"
     encode_main("probs", [str(abcd_run / "checkpoint.pt"), str(toy),

@@ -48,14 +48,15 @@ def _run_single(tmp_path):
     return os.path.join(save_root, "mh", "checkpoint.pt")
 
 
-def _run_multi(tmp_path, num_procs=2, epochs="2"):
+def _run_multi(tmp_path, num_procs=2, epochs="2", devices_per_proc=4):
     save_root = str(tmp_path / "multi")
     port = _free_port()
     procs = []
     for pid in range(num_procs):
         env = dict(
             os.environ,
-            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            XLA_FLAGS=("--xla_force_host_platform_device_count="
+                       f"{devices_per_proc}"),
             SEQ2SEQ_COORDINATOR_ADDRESS=f"localhost:{port}",
             SEQ2SEQ_NUM_PROCESSES=str(num_procs),
             SEQ2SEQ_PROCESS_ID=str(pid))
@@ -95,9 +96,7 @@ def _flatten(tree, prefix=""):
         yield prefix, tree
 
 
-def test_two_process_training_matches_single_process(tmp_path):
-    single = _run_single(tmp_path)
-    multi = _run_multi(tmp_path)
+def _assert_params_close(single, multi):
     ps, pm = _params_arrays(single), _params_arrays(multi)
     assert set(ps) == set(pm)
     worst = 0.0
@@ -113,6 +112,21 @@ def test_two_process_training_matches_single_process(tmp_path):
     # bitwise equality is not guaranteed by IEEE float addition; measured
     # agreement is far tighter than any training-relevant scale.
     assert worst <= 1e-5, worst
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    single = _run_single(tmp_path)
+    multi = _run_multi(tmp_path)
+    _assert_params_close(single, multi)
+
+
+def test_four_process_training_matches_single_process(tmp_path):
+    """Same global 8-device mesh split 4 ways (2 virtual devices per
+    process): more ranks exercises the per-process row sharding and the
+    cross-process all-reduce at a different process/device factoring."""
+    single = _run_single(tmp_path)
+    multi = _run_multi(tmp_path, num_procs=4, devices_per_proc=2)
+    _assert_params_close(single, multi)
 
 
 def test_multihost_writes_single_history_and_checkpoint(tmp_path):
