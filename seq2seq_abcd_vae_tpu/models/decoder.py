@@ -205,9 +205,6 @@ def _run_direction(cfg: DecoderConfig, cell_params: dict,
     # more than the cell matmuls at these sizes.
     k_noise, k_drop = jax.random.split(key)
     noise_t = d.noise(k_noise, (t, b, f), h0.dtype)
-    # step s consumes the noise that sampled position s-1's emission
-    noise_prev_t = jnp.concatenate(
-        [jnp.zeros_like(noise_t[:1]), noise_t[:-1]], axis=0)
     drop_t = _drop_mask(cfg, k_drop, (t, b, f), h0.dtype, deterministic)
 
     if not deterministic and cfg.input_dropout >= 1.0:
@@ -249,7 +246,7 @@ def _run_direction(cfg: DecoderConfig, cell_params: dict,
                                      axis=1)
             if cfg.rnn_type == "LSTM":
                 outs, mean_s, logvar_s = decoder_pallas.decoder_loop(
-                    noise_prev_t, mask_t.astype(h0.dtype),
+                    noise_t, mask_t.astype(h0.dtype),
                     prev_mask_t.astype(h0.dtype), w_cat2,
                     cell_params["b_ih"] + cell_params["b_hh"],
                     em["lin1"]["b"].reshape(-1), em["lin2"]["w"][0],
@@ -258,10 +255,11 @@ def _run_direction(cfg: DecoderConfig, cell_params: dict,
                     interpret=jax.default_backend() != "tpu",
                     precision=rnn_mod.kernel_precision())
                 rnn_out = jnp.swapaxes(outs, 0, 1).astype(h0.dtype)
-                # The kernel's step-t emission is the scan path's
-                # position-(t-1) emission wherever mask_{t-1}=1 (the
-                # only positions losses look at); shift to positions
-                # and compute the final position's emission from
+                # The kernel emits POSITION-indexed streams (slot p =
+                # the scan path's position-p emission wherever
+                # mask_p=1, written there by the kernel's output index
+                # map — no downstream (T,B,F) shift); only slot T-1
+                # needs the final position's emission, computed from
                 # h2_{T-1} (one timestep, autodiff'd) instead of
                 # re-running the emission MLP over all B*T rows — the
                 # round-3 device trace priced that recompute (and its
@@ -269,9 +267,7 @@ def _run_direction(cfg: DecoderConfig, cell_params: dict,
                 last = sampler_mod.sampler_apply(emission_params,
                                                  outs[-1])
                 em_params = tuple(
-                    jnp.swapaxes(
-                        jnp.concatenate([p_s[1:], p_last[None]], axis=0),
-                        0, 1)
+                    jnp.swapaxes(p_s.at[-1].set(p_last), 0, 1)
                     for p_s, p_last in zip((mean_s, logvar_s), last))
                 out = d.from_noise(jnp.swapaxes(noise_t, 0, 1),
                                    *em_params)
@@ -280,7 +276,7 @@ def _run_direction(cfg: DecoderConfig, cell_params: dict,
                 # (candidate-gate reset product includes b_hh; torch
                 # GRUCell semantics)
                 outs = decoder_pallas.gru_decoder_loop(
-                    noise_prev_t, mask_t.astype(h0.dtype),
+                    noise_t, mask_t.astype(h0.dtype),
                     prev_mask_t.astype(h0.dtype), w_cat2,
                     cell_params["b_ih"], cell_params["b_hh"],
                     em["lin1"]["b"].reshape(-1), em["lin2"]["w"][0],
@@ -290,7 +286,7 @@ def _run_direction(cfg: DecoderConfig, cell_params: dict,
                     precision=rnn_mod.kernel_precision())
             else:  # Elman RNN: biases simply add (torch RNNCell)
                 outs = decoder_pallas.rnn_decoder_loop(
-                    noise_prev_t, mask_t.astype(h0.dtype),
+                    noise_t, mask_t.astype(h0.dtype),
                     prev_mask_t.astype(h0.dtype), w_cat2,
                     cell_params["b_ih"] + cell_params["b_hh"],
                     em["lin1"]["b"].reshape(-1), em["lin2"]["w"][0],
@@ -304,6 +300,10 @@ def _run_direction(cfg: DecoderConfig, cell_params: dict,
             out = d.from_noise(jnp.swapaxes(noise_t, 0, 1), *em_params)
             return rnn_out, em_params, out
 
+    # step s consumes the noise that sampled position s-1's emission
+    # (the kernels above do this shift with a BlockSpec index map instead)
+    noise_prev_t = jnp.concatenate(
+        [jnp.zeros_like(noise_t[:1]), noise_t[:-1]], axis=0)
     w_cat, gate_w, k, m = _fused_recurrent_weight(cfg, cell_params,
                                                   emission_params)
     b1 = emission_params["to_parameters"]["lin1"]["b"]  # (k, m)

@@ -59,18 +59,20 @@ def _fwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
                 out_ref, hs_ref, cs_ref, mean_ref, logvar_ref,
                 h_scr, c_scr,
                 *, hidden: int, m: int, precision=None):
-    """One decoder step.  Streams: noise_prev (1,B,F), mask (1,B,1),
-    prev_mask (1,B,1).  Resident: wcat (H, 4H+2m), bias (1,4H) =
-    b_ih+b_hh, b1 (1,2m), w2m/w2v (m,F), b2 (1,2F) = [b2_mean|b2_logvar],
-    wih (F,4H), h0/c0 (B,H).  Outputs per step: out = the PRE-mask h2
-    (scan-path parity: padded steps carry candidate values, losses mask
+    """One decoder step.  Streams: noise (1,B,F) at block max(t-1,0)
+    (index-map shift; see _shifted_noise_spec), mask (1,B,1), prev_mask
+    (1,B,1).  Resident: wcat (H, 4H+2m), bias (1,4H) = b_ih+b_hh, b1
+    (1,2m), w2m/w2v (m,F), b2 (1,2F) = [b2_mean|b2_logvar], wih (F,4H),
+    h0/c0 (B,H).  Outputs per step: out = the PRE-mask h2 (scan-path
+    parity: padded steps carry candidate values, losses mask
     downstream), hs/cs = the masked carries (backward residuals),
-    mean/logvar = the emission parameters computed AT this step (i.e. of
-    the carry produced by step t-1; equal to the scan path's position
-    t-1 emission wherever mask_{t-1}=1, which is everywhere the loss
-    looks).  Emitting them makes the loss elementwise downstream — the
-    round-3 trace showed the post-hoc (B*T) emission recompute costing
-    ~9 ms/step in relayout copies alone."""
+    mean/logvar = the emission parameters computed AT this step, i.e.
+    of the carry produced by step t-1 — written directly to POSITION
+    slot t-1 by the output index map (step 0's value parks on slot T-1
+    for the caller to overwrite).  Emitting them makes the loss
+    elementwise downstream — the round-3 trace showed the post-hoc
+    (B*T) emission recompute costing ~9 ms/step in relayout copies
+    alone, and the downstream shift another ~0.8 ms/step."""
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -122,8 +124,9 @@ def _bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
     recomputing the forward quantities from the saved trajectories.
     hprev/cprev stream hs/cs at block t-1 (clamped index map — no
     host-side shifted copies); at t==0 the resident h0/c0 substitute.
-    dmean/dlogvar are the upstream gradients of the emitted per-step
-    emission parameters (zero where the caller had no use for them)."""
+    dmean/dlogvar stream the POSITION-indexed upstream gradients of the
+    emitted emission streams at slot t-1 (zeroed in-kernel at t==0,
+    whose emission the caller overwrote)."""
     s = pl.program_id(0)
     nt = pl.num_programs(0)
 
@@ -191,8 +194,12 @@ def _bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
     dbias_ref[:, :] += jnp.sum(dz, axis=0, keepdims=True)
 
     dx = dx * pmt
-    dmean = dx + dmean_ref[0]
-    dlogvar = dx * 0.5 * std * eps + dlogvar_ref[0]
+    # step 0's emission went to the caller-overwritten slot T-1; its
+    # upstream grad is exactly zero (the shift3 index map would read
+    # slot 0 = step 1's cotangent there instead)
+    dmean = dx + jnp.where(first_step, 0.0, dmean_ref[0])
+    dlogvar = dx * 0.5 * std * eps + jnp.where(first_step, 0.0,
+                                               dlogvar_ref[0])
     db2_ref[:, :f_dim] += jnp.sum(dmean, axis=0, keepdims=True)
     db2_ref[:, f_dim:] += jnp.sum(dlogvar, axis=0, keepdims=True)
     demh_m = _mxu_dot(dmean, w2m_ref[:, :].T, precision)
@@ -217,13 +224,25 @@ def _bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
         dc0_ref[:, :] = dc_scr[:]
 
 
+def _shifted_noise_spec(t, b, f):
+    """Step t consumes the noise that sampled position t-1's emission.
+    Streaming block max(t-1, 0) of the UNSHIFTED (T, B, F) noise does
+    the shift for free in the index map — the host-side
+    [zeros | noise[:-1]] concatenate it replaces cost a full (T, B, F)
+    HBM slice+pad pair per step in the round-3 device trace.  The t=0
+    block's content is irrelevant: prev_mask zeroes the feedback input
+    on every row's first active step."""
+    return pl.BlockSpec((1, b, f), lambda i: (jnp.maximum(i - 1, 0), 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
 def _specs(t, b, f, hidden, m, g_all):
     stream3 = lambda shp: pl.BlockSpec(shp, lambda i: (i, 0, 0),
                                        memory_space=pltpu.VMEM)
     res = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                    memory_space=pltpu.VMEM)
     ins = [
-        stream3((1, b, f)),            # noise_prev
+        _shifted_noise_spec(t, b, f),  # noise (unshifted; see above)
         stream3((1, b, 1)),            # mask
         stream3((1, b, 1)),            # prev_mask
         res((hidden, g_all)),          # wcat
@@ -244,14 +263,24 @@ def _fwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
     g_all = wcat.shape[1]
     m = (g_all - 4 * hidden) // 2
     ins, stream3, res = _specs(t, b, f, hidden, m, g_all)
+    # The emission computed AT step t belongs to POSITION t-1 (it is the
+    # emission of the carry produced by step t-1), so the kernel writes
+    # it there directly: slot map t -> t-1, with step 0 parked on slot
+    # T-1 (its emission is the scan path's dropped pre-first-position
+    # value; the caller overwrites slot T-1 with the final position's
+    # emission).  This removes the downstream full-(T,B,F) slice+pad
+    # shift pair per stream measured in the round-3 device trace.
+    pos = lambda shp: pl.BlockSpec(
+        shp, lambda i: (jnp.where(i == 0, t - 1, i - 1), 0, 0),
+        memory_space=pltpu.VMEM)
     outs, hs, cs, mean_s, logvar_s = pl.pallas_call(
         functools.partial(_fwd_kernel, hidden=hidden, m=m,
                           precision=precision),
         grid=(t,),
         in_specs=ins + [res((b, hidden)), res((b, hidden))],
         out_specs=[stream3((1, b, hidden)), stream3((1, b, hidden)),
-                   stream3((1, b, hidden)), stream3((1, b, f)),
-                   stream3((1, b, f))],
+                   stream3((1, b, hidden)), pos((1, b, f)),
+                   pos((1, b, f))],
         out_shape=[jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
                    jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
                    jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
@@ -281,7 +310,7 @@ def _bwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
         shp, lambda i: (jnp.maximum(t - 2 - i, 0), 0, 0),
         memory_space=pltpu.VMEM)
     rev_ins = [
-        rev3((1, b, f)),               # noise_prev
+        shift3((1, b, f)),             # noise at t-1 (unshifted input)
         rev3((1, b, 1)),               # mask
         rev3((1, b, 1)),               # prev_mask
     ] + ins[3:] + [
@@ -290,8 +319,12 @@ def _bwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
         res((b, hidden)),              # h0
         res((b, hidden)),              # c0
         rev3((1, b, hidden)),          # dout
-        rev3((1, b, f)),               # dmean
-        rev3((1, b, f)),               # dlogvar
+        # position-indexed upstream grads of the emitted streams: step
+        # t's emission lives at slot t-1 (kernel zeroes them at t==0;
+        # slot T-1 belongs to the caller's final-position overwrite and
+        # is never read here)
+        shift3((1, b, f)),             # dmean at t-1
+        shift3((1, b, f)),             # dlogvar at t-1
     ]
     out_specs = [
         res((hidden, g_all)), res((1, 4 * hidden)), res((1, 2 * m)),
@@ -496,7 +529,7 @@ def _gru_specs(b, f, hidden, m, g_all):
     res = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                    memory_space=pltpu.VMEM)
     ins = [
-        stream3((1, b, f)),            # noise_prev
+        _shifted_noise_spec(0, b, f),  # noise (unshifted; index-map shift)
         stream3((1, b, 1)),            # mask
         stream3((1, b, 1)),            # prev_mask
         res((hidden, g_all)),          # wcat
@@ -544,8 +577,11 @@ def _gru_bwd_call(noise, mask, pmask, wcat, bih, bhh, b1, w2m, w2v, b2,
     h_prev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
     rev3 = lambda shp: pl.BlockSpec(shp, lambda i: (t - 1 - i, 0, 0),
                                     memory_space=pltpu.VMEM)
+    shift3 = lambda shp: pl.BlockSpec(
+        shp, lambda i: (jnp.maximum(t - 2 - i, 0), 0, 0),
+        memory_space=pltpu.VMEM)
     rev_ins = [
-        rev3((1, b, f)),               # noise_prev
+        shift3((1, b, f)),             # noise at t-1 (unshifted input)
         rev3((1, b, 1)),               # mask
         rev3((1, b, 1)),               # prev_mask
     ] + ins[3:] + [
@@ -616,7 +652,7 @@ def _gru_loop_bwd(interpret, precision, residuals, douts):
 _gru_loop_cvjp.defvjp(_gru_loop_fwd, _gru_loop_bwd)
 
 
-def gru_decoder_loop(noise_prev, mask, prev_mask, w_cat, b_ih, b_hh,
+def gru_decoder_loop(noise, mask, prev_mask, w_cat, b_ih, b_hh,
                      b1_flat, w2_mean, w2_logvar, b2_flat, w_ih, h0,
                      interpret: bool = False, precision=None):
     """GRU analogue of ``decoder_loop``.
@@ -627,7 +663,7 @@ def gru_decoder_loop(noise_prev, mask, prev_mask, w_cat, b_ih, b_hh,
     Returns outs (T, B, H), the PRE-mask candidate h2 per step.
     """
     return _gru_loop_cvjp(
-        noise_prev, mask, prev_mask, w_cat, b_ih.reshape(1, -1),
+        noise, mask, prev_mask, w_cat, b_ih.reshape(1, -1),
         b_hh.reshape(1, -1), b1_flat.reshape(1, -1), w2_mean, w2_logvar,
         b2_flat.reshape(1, -1), w_ih, h0, interpret, precision)
 
@@ -747,7 +783,7 @@ def _rnn_specs(b, f, hidden, m, g_all):
     res = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                    memory_space=pltpu.VMEM)
     ins = [
-        stream3((1, b, f)),            # noise_prev
+        _shifted_noise_spec(0, b, f),  # noise (unshifted; index-map shift)
         stream3((1, b, 1)),            # mask
         stream3((1, b, 1)),            # prev_mask
         res((hidden, g_all)),          # wcat
@@ -794,8 +830,11 @@ def _rnn_bwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2,
     h_prev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
     rev3 = lambda shp: pl.BlockSpec(shp, lambda i: (t - 1 - i, 0, 0),
                                     memory_space=pltpu.VMEM)
+    shift3 = lambda shp: pl.BlockSpec(
+        shp, lambda i: (jnp.maximum(t - 2 - i, 0), 0, 0),
+        memory_space=pltpu.VMEM)
     rev_ins = [
-        rev3((1, b, f)),               # noise_prev
+        shift3((1, b, f)),             # noise at t-1 (unshifted input)
         rev3((1, b, 1)),               # mask
         rev3((1, b, 1)),               # prev_mask
     ] + ins[3:] + [
@@ -864,7 +903,7 @@ def _rnn_loop_bwd(interpret, precision, residuals, douts):
 _rnn_loop_cvjp.defvjp(_rnn_loop_fwd, _rnn_loop_bwd)
 
 
-def rnn_decoder_loop(noise_prev, mask, prev_mask, w_cat, bias, b1_flat,
+def rnn_decoder_loop(noise, mask, prev_mask, w_cat, bias, b1_flat,
                      w2_mean, w2_logvar, b2_flat, w_ih, h0,
                      interpret: bool = False, precision=None):
     """Elman-RNN analogue of ``decoder_loop``.
@@ -874,20 +913,22 @@ def rnn_decoder_loop(noise_prev, mask, prev_mask, w_cat, bias, b1_flat,
     state.  Returns outs (T, B, H), the PRE-mask candidate h2 per step.
     """
     return _rnn_loop_cvjp(
-        noise_prev, mask, prev_mask, w_cat, bias.reshape(1, -1),
+        noise, mask, prev_mask, w_cat, bias.reshape(1, -1),
         b1_flat.reshape(1, -1), w2_mean, w2_logvar,
         b2_flat.reshape(1, -1), w_ih, h0, interpret, precision)
 
 
-def decoder_loop(noise_prev, mask, prev_mask, w_cat, bias, b1_flat,
+def decoder_loop(noise, mask, prev_mask, w_cat, bias, b1_flat,
                  w2_mean, w2_logvar, b2_flat, w_ih, h0, c0,
                  interpret: bool = False, precision=None):
     """Run the full autoregressive decoder time loop in one kernel.
 
     Args:
-      noise_prev: (T, B, F) presampled standard normals, already shifted
-        so step t consumes the noise that sampled position t-1's emission
-        (models/decoder.py noise_prev_t layout).
+      noise: (T, B, F) presampled standard normals, UNSHIFTED (step t
+        reads block max(t-1, 0) via the BlockSpec index map, so it
+        consumes the noise that sampled position t-1's emission; the
+        t=0 block content is dead because prev_mask zeroes each row's
+        first active input).
       mask: (T, B, 1) float validity of each step.
       prev_mask: (T, B, 1) float validity of the previous step (gates the
         feedback input; zero on each row's first active step).
@@ -904,13 +945,14 @@ def decoder_loop(noise_prev, mask, prev_mask, w_cat, bias, b1_flat,
         step — identical to the scan path's rnn_out (padded steps carry
         candidate values computed from the frozen carry; downstream
         losses mask them).
-      mean_s / logvar_s (T, B, F): the emission parameters computed AT
-        step t (of the masked carry after step t-1; step 0 emits from
-        h0).  Wherever mask_{t-1}=1 these equal the scan path's
-        position-(t-1) emission; the caller shifts them to positions and
-        appends the final position's emission (models/decoder.py).
+      mean_s / logvar_s (T, B, F): POSITION-indexed emission parameter
+        streams — slot p holds the emission computed at step p+1 (of
+        the masked carry after step p), equal to the scan path's
+        position-p emission wherever mask_p=1.  Slot T-1 holds step 0's
+        (dropped) pre-first-position emission; the caller overwrites it
+        with the final position's emission (models/decoder.py).
     """
     return _decoder_loop_cvjp(
-        noise_prev, mask, prev_mask, w_cat, bias.reshape(1, -1),
+        noise, mask, prev_mask, w_cat, bias.reshape(1, -1),
         b1_flat.reshape(1, -1), w2_mean, w2_logvar, b2_flat.reshape(1, -1),
         w_ih, h0, c0, interpret, precision)

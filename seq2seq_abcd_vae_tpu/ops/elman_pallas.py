@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import _vjp_utils as _vjp
 from .mxu import mxu_dot as _mxu_dot
 
 
@@ -134,6 +135,15 @@ def _bwd_call(xp, mask_f, w_hh, b_hh, outs, douts, dh_n, interpret,
     h_prev = jnp.concatenate([zeros_state, outs[:-1]], axis=0)
 
     rev = lambda i: (t - 1 - i, 0, 0)
+    # douts=None: symbolic-zero outs cotangent (final encoder layer) —
+    # one resident zero block instead of a (T,B,H) HBM stream
+    if douts is None:
+        douts = zeros_state
+        dout_spec = pl.BlockSpec((1, b, hidden), lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        dout_spec = pl.BlockSpec((1, b, hidden), rev,
+                                 memory_space=pltpu.VMEM)
     dxp, dw, db = pl.pallas_call(
         functools.partial(_bwd_kernel, precision=precision),
         grid=(t,),
@@ -145,7 +155,7 @@ def _bwd_call(xp, mask_f, w_hh, b_hh, outs, douts, dh_n, interpret,
             pl.BlockSpec((1, g), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, hidden), rev, memory_space=pltpu.VMEM),
+            dout_spec,
             pl.BlockSpec((b, hidden), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -174,6 +184,7 @@ def _rnn_layer_cvjp(xp, mask_f, w_hh, b_hh, interpret, precision):
 
 
 def _rnn_layer_fwd(xp, mask_f, w_hh, b_hh, interpret, precision):
+    xp, mask_f, w_hh, b_hh = _vjp.primals(xp, mask_f, w_hh, b_hh)
     outs, h_n = _fwd_call(xp, mask_f, w_hh, b_hh, interpret, precision)
     return (outs, h_n), (xp, mask_f, w_hh, b_hh, outs)
 
@@ -181,12 +192,17 @@ def _rnn_layer_fwd(xp, mask_f, w_hh, b_hh, interpret, precision):
 def _rnn_layer_bwd(interpret, precision, residuals, grads):
     xp, mask_f, w_hh, b_hh, outs = residuals
     douts, dh_n = grads
-    dxp, dw, db = _bwd_call(xp, mask_f, w_hh, b_hh, outs, douts, dh_n,
-                            interpret, precision)
+    b, hidden = outs.shape[1], outs.shape[2]
+    dxp, dw, db = _bwd_call(
+        xp, mask_f, w_hh, b_hh, outs,
+        None if _vjp.is_sym_zero(douts) else douts,
+        _vjp.dense_small(dh_n, (b, hidden), xp.dtype),
+        interpret, precision)
     return dxp, jnp.zeros_like(mask_f), dw, db
 
 
-_rnn_layer_cvjp.defvjp(_rnn_layer_fwd, _rnn_layer_bwd)
+_rnn_layer_cvjp.defvjp(_rnn_layer_fwd, _rnn_layer_bwd,
+                       symbolic_zeros=True)
 
 
 def rnn_layer(xp, mask, w_hh, b_hh, interpret=False, precision=None):
@@ -333,6 +349,14 @@ def _bwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh, outs, douts, dh_n,
         shp, lambda i: (jnp.maximum(t - 2 - i, 0),) + (0,) *
         (len(shp) - 1),
         memory_space=pltpu.VMEM)
+    # douts=None: symbolic-zero outs cotangent (final encoder layer)
+    if douts is None:
+        douts = jnp.zeros((1, 2, b, hidden), x.dtype)
+        dout_spec = pl.BlockSpec((1, 2, b, hidden),
+                                 lambda i: (0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        dout_spec = rev((1, 2, b, hidden))
     dx0, dx1, dwih, dbih, dwhh, dbhh = pl.pallas_call(
         functools.partial(_bwdf_kernel, precision=precision),
         grid=(t,),
@@ -341,7 +365,7 @@ def _bwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh, outs, douts, dh_n,
                   res((2, f_dim, g)), res((2, 1, g)),
                   res((2, hidden, g)), res((2, 1, g)),
                   shift((1, 2, b, hidden)),
-                  rev((1, 2, b, hidden)),
+                  dout_spec,
                   res((2, b, hidden))],
         out_specs=[rev((1, b, f_dim)), fwd((1, b, f_dim)),
                    res((2, f_dim, g)), res((2, 1, g)),
@@ -371,6 +395,8 @@ def _rnn_bidir_fused_cvjp(x, mask_f, w_ih, b_ih, w_hh, b_hh, interpret,
 
 def _rnn_bidir_fused_fwd(x, mask_f, w_ih, b_ih, w_hh, b_hh, interpret,
                          precision):
+    x, mask_f, w_ih, b_ih, w_hh, b_hh = _vjp.primals(
+        x, mask_f, w_ih, b_ih, w_hh, b_hh)
     outs, h_n = _fwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh, interpret,
                            precision)
     return (outs, h_n), (x, mask_f, w_ih, b_ih, w_hh, b_hh, outs)
@@ -379,13 +405,17 @@ def _rnn_bidir_fused_fwd(x, mask_f, w_ih, b_ih, w_hh, b_hh, interpret,
 def _rnn_bidir_fused_bwd(interpret, precision, residuals, grads):
     x, mask_f, w_ih, b_ih, w_hh, b_hh, outs = residuals
     douts, dh_n = grads
+    b, hidden = outs.shape[2], outs.shape[3]
     dx, dwih, dbih, dwhh, dbhh = _bwdf_call(
-        x, mask_f, w_ih, b_ih, w_hh, b_hh, outs, douts, dh_n, interpret,
-        precision)
+        x, mask_f, w_ih, b_ih, w_hh, b_hh, outs,
+        None if _vjp.is_sym_zero(douts) else douts,
+        _vjp.dense_small(dh_n, (2, b, hidden), x.dtype),
+        interpret, precision)
     return dx, jnp.zeros_like(mask_f), dwih, dbih, dwhh, dbhh
 
 
-_rnn_bidir_fused_cvjp.defvjp(_rnn_bidir_fused_fwd, _rnn_bidir_fused_bwd)
+_rnn_bidir_fused_cvjp.defvjp(_rnn_bidir_fused_fwd, _rnn_bidir_fused_bwd,
+                             symbolic_zeros=True)
 
 
 def rnn_layer_bidir_fused(x, mask, w_ih, b_ih, w_hh, b_hh,

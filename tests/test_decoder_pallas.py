@@ -40,14 +40,12 @@ def kernel_inputs(cfg, params, h0, c0, mask, key):
         [jnp.zeros_like(mask_t[:1]), mask_t[:-1]], axis=0)
     k_noise, _ = jax.random.split(key)
     noise_t = d.noise(k_noise, (t, B, F), h0.dtype)
-    noise_prev_t = jnp.concatenate(
-        [jnp.zeros_like(noise_t[:1]), noise_t[:-1]], axis=0)
     w1 = em["lin1"]["w"]
     k, h_in, m = w1.shape
     w1_flat = jnp.moveaxis(w1, 0, 1).reshape(h_in, k * m)
     w_cat = jnp.concatenate([cell["w_hh"], w1_flat], axis=1)
     return dict(
-        noise_prev=noise_prev_t, mask=mask_t, prev_mask=prev_mask_t,
+        noise=noise_t, mask=mask_t, prev_mask=prev_mask_t,
         w_cat=w_cat, bias=cell["b_ih"] + cell["b_hh"],
         b1_flat=em["lin1"]["b"].reshape(-1),
         w2_mean=em["lin2"]["w"][0], w2_logvar=em["lin2"]["w"][1],
@@ -65,13 +63,14 @@ def test_forward_matches_scan():
                                                          **ki)
     np.testing.assert_allclose(np.asarray(jnp.swapaxes(outs, 0, 1)),
                                np.asarray(rnn_out), rtol=2e-5, atol=2e-6)
-    # the kernel's step-(p+1) emission equals the scan path's position-p
-    # emission wherever mask_p = 1 (padded positions intentionally hold
-    # frozen-carry values instead; losses mask them)
+    # the kernel's streams are position-indexed (slot p = the scan
+    # path's position-p emission wherever mask_p = 1; padded positions
+    # intentionally hold frozen-carry values; slot T-1 is the caller's
+    # final-position overwrite)
     m = np.asarray(mask)[:, :T - 1]  # (B, T-1) validity of positions
     for kern_s, scan_p in ((mean_s, em_params[0]),
                            (logvar_s, em_params[1])):
-        kern_pos = np.asarray(jnp.swapaxes(kern_s[1:], 0, 1))  # (B,T-1,F)
+        kern_pos = np.asarray(jnp.swapaxes(kern_s[:T - 1], 0, 1))
         scan_pos = np.asarray(scan_p)[:, :T - 1]
         np.testing.assert_allclose(kern_pos[m], scan_pos[m], rtol=2e-5,
                                    atol=2e-6)
@@ -153,14 +152,12 @@ def gru_kernel_inputs(cfg, params, h0, mask, key):
         [jnp.zeros_like(mask_t[:1]), mask_t[:-1]], axis=0)
     k_noise, _ = jax.random.split(key)
     noise_t = d.noise(k_noise, (t, B, F), h0.dtype)
-    noise_prev_t = jnp.concatenate(
-        [jnp.zeros_like(noise_t[:1]), noise_t[:-1]], axis=0)
     w1 = em["lin1"]["w"]
     k, h_in, m = w1.shape
     w1_flat = jnp.moveaxis(w1, 0, 1).reshape(h_in, k * m)
     w_cat = jnp.concatenate([cell["w_hh"], w1_flat], axis=1)
     return dict(
-        noise_prev=noise_prev_t, mask=mask_t, prev_mask=prev_mask_t,
+        noise=noise_t, mask=mask_t, prev_mask=prev_mask_t,
         w_cat=w_cat, b_ih=cell["b_ih"], b_hh=cell["b_hh"],
         b1_flat=em["lin1"]["b"].reshape(-1),
         w2_mean=em["lin2"]["w"][0], w2_logvar=em["lin2"]["w"][1],
@@ -277,14 +274,12 @@ def rnn_kernel_inputs(cfg, params, h0, mask, key):
         [jnp.zeros_like(mask_t[:1]), mask_t[:-1]], axis=0)
     k_noise, _ = jax.random.split(key)
     noise_t = d.noise(k_noise, (t, B, F), h0.dtype)
-    noise_prev_t = jnp.concatenate(
-        [jnp.zeros_like(noise_t[:1]), noise_t[:-1]], axis=0)
     w1 = em["lin1"]["w"]
     k, h_in, m = w1.shape
     w1_flat = jnp.moveaxis(w1, 0, 1).reshape(h_in, k * m)
     w_cat = jnp.concatenate([cell["w_hh"], w1_flat], axis=1)
     return dict(
-        noise_prev=noise_prev_t, mask=mask_t, prev_mask=prev_mask_t,
+        noise=noise_t, mask=mask_t, prev_mask=prev_mask_t,
         w_cat=w_cat, bias=cell["b_ih"] + cell["b_hh"],
         b1_flat=em["lin1"]["b"].reshape(-1),
         w2_mean=em["lin2"]["w"][0], w2_logvar=em["lin2"]["w"][1],
