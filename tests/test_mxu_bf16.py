@@ -22,7 +22,7 @@ def _r(rng, *shape, scale=0.1):
 
 def _lstm_args(rng):
     return dict(
-        noise_prev=_r(rng, T, B, F, scale=1.0),
+        noise=_r(rng, T, B, F, scale=1.0),
         mask=jnp.ones((T, B, 1), jnp.float32),
         prev_mask=jnp.ones((T, B, 1), jnp.float32),
         w_cat=_r(rng, H, 4 * H + 2 * M),
