@@ -116,7 +116,12 @@ def main():
     timed_batches = int(os.environ.get("BENCH_BATCHES", 16))
     n_rounds = int(os.environ.get("BENCH_ROUNDS", 3))
     precision = os.environ.get("BENCH_MATMUL_PRECISION", "default")
-    stft_method = os.environ.get("BENCH_STFT_METHOD", "fft")
+    # 'pallas' = the fused frontend kernel (ops/stft_pallas.py): the
+    # round-3 device trace priced the XLA fft frontend at ~2.7 ms/step
+    # (six HBM passes over the 134 MB frames tensor) vs ~1.8 ms fused —
+    # device step 27.5 -> 25.8 ms at B=512 T=512.  Parity/CLI default
+    # stays 'fft' (bit-faithful reference path).
+    stft_method = os.environ.get("BENCH_STFT_METHOD", "pallas")
     length_sorted = os.environ.get("BENCH_LENGTH_SORTED") == "1"
 
     from seq2seq_abcd_vae_tpu.utils import (

@@ -535,8 +535,8 @@ def decoder_apply(params: dict, cfg: DecoderConfig, features: jax.Array,
         features = jnp.concatenate([features, emb], axis=-1)
     lin = params["feature2hidden"]
     hidden = features @ lin["w"] + lin["b"]
-    mask = rnn_mod.lengths_to_mask(lengths, total_steps)
-    fmask = mask.astype(hidden.dtype)
+    mask = rnn_mod.lengths_to_mask(lengths, total_steps, hidden.dtype)
+    fmask = mask
 
     if not cfg.bidirectional:
         h0, c0 = _split_hidden(cfg, hidden)

@@ -44,7 +44,7 @@ def encoder_apply(params: dict, cfg: EncoderConfig, x: jax.Array,
 
     Rows with length 0 (batch padding) yield the zero initial state.
     """
-    mask = rnn_mod.lengths_to_mask(lengths, x.shape[1])
+    mask = rnn_mod.lengths_to_mask(lengths, x.shape[1], x.dtype)
     if cfg.rnn_type == "ESN":
         return _esn_forward(params, cfg, x, mask, dropout_key, deterministic)
     return _rnn_forward(params, cfg, x, mask, dropout_key, deterministic)
