@@ -51,6 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 from .mxu import mxu_dot as _mxu_dot
+from .mxu import mxu_dot_nt as _mxu_dot_nt
+from .mxu import mxu_dot_tn as _mxu_dot_tn
 
 
 def _fwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
@@ -189,8 +191,8 @@ def _bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
         [di * i * (1.0 - i), df * f * (1.0 - f), dg * (1.0 - g * g),
          do * o * (1.0 - o)], axis=-1)
 
-    dx = _mxu_dot(dz, wih_ref[:, :].T, precision)
-    dwih_ref[:, :] += _mxu_dot(x.T, dz, precision)
+    dx = _mxu_dot_nt(dz, wih_ref[:, :], precision)
+    dwih_ref[:, :] += _mxu_dot_tn(x, dz, precision)
     dbias_ref[:, :] += jnp.sum(dz, axis=0, keepdims=True)
 
     dx = dx * pmt
@@ -202,19 +204,19 @@ def _bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
                                                dlogvar_ref[0])
     db2_ref[:, :f_dim] += jnp.sum(dmean, axis=0, keepdims=True)
     db2_ref[:, f_dim:] += jnp.sum(dlogvar, axis=0, keepdims=True)
-    demh_m = _mxu_dot(dmean, w2m_ref[:, :].T, precision)
-    demh_v = _mxu_dot(dlogvar, w2v_ref[:, :].T, precision)
-    dw2m_ref[:, :] += _mxu_dot(emh[:, :m].T, dmean, precision)
-    dw2v_ref[:, :] += _mxu_dot(emh[:, m:].T, dlogvar, precision)
+    demh_m = _mxu_dot_nt(dmean, w2m_ref[:, :], precision)
+    demh_v = _mxu_dot_nt(dlogvar, w2v_ref[:, :], precision)
+    dw2m_ref[:, :] += _mxu_dot_tn(emh[:, :m], dmean, precision)
+    dw2v_ref[:, :] += _mxu_dot_tn(emh[:, m:], dlogvar, precision)
     demh = jnp.concatenate([demh_m, demh_v], axis=-1)
     dbig_em = demh * (1.0 - emh * emh)
     db1_ref[:, :] += jnp.sum(dbig_em, axis=0, keepdims=True)
 
     dbig = jnp.concatenate([dz, dbig_em], axis=-1)
     dh_prev = (jnp.where(mt > 0, 0.0, dh_carry)
-               + _mxu_dot(dbig, wcat_ref[:, :].T, precision))
+               + _mxu_dot_nt(dbig, wcat_ref[:, :], precision))
     dc_prev = jnp.where(mt > 0, 0.0, dc_carry) + dc2 * f
-    dwcat_ref[:, :] += _mxu_dot(h_prev.T, dbig, precision)
+    dwcat_ref[:, :] += _mxu_dot_tn(h_prev, dbig, precision)
     dh_scr[:] = dh_prev
     dc_scr[:] = dc_prev
 
@@ -495,8 +497,8 @@ def _gru_bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bih_ref,
     dxp = jnp.concatenate([drpre, dzpre, dnpre], axis=-1)
     dhp = jnp.concatenate([drpre, dzpre, dhn], axis=-1)
 
-    dx = _mxu_dot(dxp, wih_ref[:, :].T, precision)
-    dwih_ref[:, :] += _mxu_dot(x.T, dxp, precision)
+    dx = _mxu_dot_nt(dxp, wih_ref[:, :], precision)
+    dwih_ref[:, :] += _mxu_dot_tn(x, dxp, precision)
     dbih_ref[:, :] += jnp.sum(dxp, axis=0, keepdims=True)
     dbhh_ref[:, :] += jnp.sum(dhp, axis=0, keepdims=True)
 
@@ -505,17 +507,17 @@ def _gru_bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bih_ref,
     dlogvar = dx * 0.5 * std * eps
     db2_ref[:, :f_dim] += jnp.sum(dmean, axis=0, keepdims=True)
     db2_ref[:, f_dim:] += jnp.sum(dlogvar, axis=0, keepdims=True)
-    demh_m = _mxu_dot(dmean, w2m_ref[:, :].T, precision)
-    demh_v = _mxu_dot(dlogvar, w2v_ref[:, :].T, precision)
-    dw2m_ref[:, :] += _mxu_dot(emh[:, :m].T, dmean, precision)
-    dw2v_ref[:, :] += _mxu_dot(emh[:, m:].T, dlogvar, precision)
+    demh_m = _mxu_dot_nt(dmean, w2m_ref[:, :], precision)
+    demh_v = _mxu_dot_nt(dlogvar, w2v_ref[:, :], precision)
+    dw2m_ref[:, :] += _mxu_dot_tn(emh[:, :m], dmean, precision)
+    dw2v_ref[:, :] += _mxu_dot_tn(emh[:, m:], dlogvar, precision)
     demh = jnp.concatenate([demh_m, demh_v], axis=-1)
     dbig_em = demh * (1.0 - emh * emh)
     db1_ref[:, :] += jnp.sum(dbig_em, axis=0, keepdims=True)
 
     dbig = jnp.concatenate([dhp, dbig_em], axis=-1)
-    dh_prev = dh_prev + _mxu_dot(dbig, wcat_ref[:, :].T, precision)
-    dwcat_ref[:, :] += _mxu_dot(h_prev.T, dbig, precision)
+    dh_prev = dh_prev + _mxu_dot_nt(dbig, wcat_ref[:, :], precision)
+    dwcat_ref[:, :] += _mxu_dot_tn(h_prev, dbig, precision)
     dh_scr[:] = dh_prev
 
     @pl.when(s == nt - 1)
@@ -750,8 +752,8 @@ def _rnn_bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
     dpre = dh2 * (1.0 - h2 * h2)
     dh_prev = jnp.where(mt > 0, 0.0, dh_carry)
 
-    dx = _mxu_dot(dpre, wih_ref[:, :].T, precision)
-    dwih_ref[:, :] += _mxu_dot(x.T, dpre, precision)
+    dx = _mxu_dot_nt(dpre, wih_ref[:, :], precision)
+    dwih_ref[:, :] += _mxu_dot_tn(x, dpre, precision)
     dbias_ref[:, :] += jnp.sum(dpre, axis=0, keepdims=True)
 
     dx = dx * pmt
@@ -759,17 +761,17 @@ def _rnn_bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
     dlogvar = dx * 0.5 * std * eps
     db2_ref[:, :f_dim] += jnp.sum(dmean, axis=0, keepdims=True)
     db2_ref[:, f_dim:] += jnp.sum(dlogvar, axis=0, keepdims=True)
-    demh_m = _mxu_dot(dmean, w2m_ref[:, :].T, precision)
-    demh_v = _mxu_dot(dlogvar, w2v_ref[:, :].T, precision)
-    dw2m_ref[:, :] += _mxu_dot(emh[:, :m].T, dmean, precision)
-    dw2v_ref[:, :] += _mxu_dot(emh[:, m:].T, dlogvar, precision)
+    demh_m = _mxu_dot_nt(dmean, w2m_ref[:, :], precision)
+    demh_v = _mxu_dot_nt(dlogvar, w2v_ref[:, :], precision)
+    dw2m_ref[:, :] += _mxu_dot_tn(emh[:, :m], dmean, precision)
+    dw2v_ref[:, :] += _mxu_dot_tn(emh[:, m:], dlogvar, precision)
     demh = jnp.concatenate([demh_m, demh_v], axis=-1)
     dbig_em = demh * (1.0 - emh * emh)
     db1_ref[:, :] += jnp.sum(dbig_em, axis=0, keepdims=True)
 
     dbig = jnp.concatenate([dpre, dbig_em], axis=-1)
-    dh_prev = dh_prev + _mxu_dot(dbig, wcat_ref[:, :].T, precision)
-    dwcat_ref[:, :] += _mxu_dot(h_prev.T, dbig, precision)
+    dh_prev = dh_prev + _mxu_dot_nt(dbig, wcat_ref[:, :], precision)
+    dwcat_ref[:, :] += _mxu_dot_tn(h_prev, dbig, precision)
     dh_scr[:] = dh_prev
 
     @pl.when(s == nt - 1)

@@ -36,6 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import _vjp_utils as _vjp
 from .mxu import mxu_dot as _mxu_dot
+from .mxu import mxu_dot_nt as _mxu_dot_nt
+from .mxu import mxu_dot_tn as _mxu_dot_tn
 
 
 # ---------------------------------------------------------------------------
@@ -85,10 +87,10 @@ def _bwd_kernel(xp_ref, mask_ref, w_ref, b_ref, hprev_ref, dout_ref,
     dh = dh_scr[:] + dout_ref[0]
     dpre = jnp.where(m, dh, 0.0) * (1.0 - h2 * h2)
     dh_prev = (jnp.where(m, 0.0, dh)
-               + _mxu_dot(dpre, w_ref[:, :].T, precision))
+               + _mxu_dot_nt(dpre, w_ref[:, :], precision))
 
     dxp_ref[0] = dpre
-    dw_ref[:, :] += _mxu_dot(h_prev.T, dpre, precision)
+    dw_ref[:, :] += _mxu_dot_tn(h_prev, dpre, precision)
     db_ref[:, :] += jnp.sum(dpre, axis=0, keepdims=True)
     dh_scr[:] = dh_prev
 
@@ -284,15 +286,15 @@ def _bwdf_kernel(xr_ref, xf_ref, mask_ref, wih_ref, bih_ref, whh_ref,
         dh = dh_scr[d] + dout_ref[0, d]
         dpre = jnp.where(m, dh, 0.0) * (1.0 - h2 * h2)
         dh_prev = (jnp.where(m, 0.0, dh)
-                   + _mxu_dot(dpre, whh_ref[d].T, precision))
-        dx = _mxu_dot(dpre, wih_ref[d].T, precision)
+                   + _mxu_dot_nt(dpre, whh_ref[d], precision))
+        dx = _mxu_dot_nt(dpre, wih_ref[d], precision)
         if d == 0:
             dx0_ref[0] = dx
         else:
             dx1_ref[0] = dx
-        dwih_ref[d] += _mxu_dot(x_t.T, dpre, precision)
+        dwih_ref[d] += _mxu_dot_tn(x_t, dpre, precision)
         dbih_ref[d] += jnp.sum(dpre, axis=0, keepdims=True)
-        dwhh_ref[d] += _mxu_dot(h_prev.T, dpre, precision)
+        dwhh_ref[d] += _mxu_dot_tn(h_prev, dpre, precision)
         dbhh_ref[d] += jnp.sum(dpre, axis=0, keepdims=True)
         dh_scr[d] = dh_prev
 

@@ -49,6 +49,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import _vjp_utils as _vjp
 from .mxu import mxu_dot as _mxu_dot
+from .mxu import mxu_dot_nt as _mxu_dot_nt
+from .mxu import mxu_dot_tn as _mxu_dot_tn
 
 
 def _gru_gates(xp, hp, hidden):
@@ -131,10 +133,10 @@ def _bwd_kernel(xp_ref, mask_ref, w_ref, b_ref, hprev_ref, dout_ref,
 
     dh = dh_scr[:] + dout_ref[0]
     dxp, dhg, dh_prev = _gru_adjoint(dh, m, h_prev, r, z, n, hn_pre)
-    dh_prev = dh_prev + _mxu_dot(dhg, w_ref[:, :].T, precision)
+    dh_prev = dh_prev + _mxu_dot_nt(dhg, w_ref[:, :], precision)
 
     dxp_ref[0] = dxp
-    dw_ref[:, :] += _mxu_dot(h_prev.T, dhg, precision)
+    dw_ref[:, :] += _mxu_dot_tn(h_prev, dhg, precision)
     db_ref[:, :] += jnp.sum(dhg, axis=0, keepdims=True)
     dh_scr[:] = dh_prev
 
@@ -334,15 +336,15 @@ def _bwdf_kernel(xr_ref, xf_ref, mask_ref, wih_ref, bih_ref, whh_ref,
 
         dh = dh_scr[d] + dout_ref[0, d]
         dxp, dhg, dh_prev = _gru_adjoint(dh, m, h_prev, r, z, n, hn_pre)
-        dh_prev = dh_prev + _mxu_dot(dhg, whh_ref[d].T, precision)
-        dx = _mxu_dot(dxp, wih_ref[d].T, precision)
+        dh_prev = dh_prev + _mxu_dot_nt(dhg, whh_ref[d], precision)
+        dx = _mxu_dot_nt(dxp, wih_ref[d], precision)
         if d == 0:
             dx0_ref[0] = dx
         else:
             dx1_ref[0] = dx
-        dwih_ref[d] += _mxu_dot(x_t.T, dxp, precision)
+        dwih_ref[d] += _mxu_dot_tn(x_t, dxp, precision)
         dbih_ref[d] += jnp.sum(dxp, axis=0, keepdims=True)
-        dwhh_ref[d] += _mxu_dot(h_prev.T, dhg, precision)
+        dwhh_ref[d] += _mxu_dot_tn(h_prev, dhg, precision)
         dbhh_ref[d] += jnp.sum(dhg, axis=0, keepdims=True)
         dh_scr[d] = dh_prev
 

@@ -45,6 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import _vjp_utils as _vjp
 from .mxu import mxu_dot as _mxu_dot
+from .mxu import mxu_dot_nt as _mxu_dot_nt
+from .mxu import mxu_dot_tn as _mxu_dot_tn
 
 
 def _fwd_kernel(xp_ref, mask_ref, w_ref, b_ref, out_ref, cs_ref, hn_ref,
@@ -133,11 +135,11 @@ def _bwd_kernel(xp_ref, mask_ref, w_ref, b_ref, hprev_ref, cprev_ref,
 
     # grads through the identity branch (mask=0): dh/dc pass straight.
     dh_prev = (jnp.where(m, 0.0, dh)
-               + _mxu_dot(dz, w_ref[:, :].T, precision))
+               + _mxu_dot_nt(dz, w_ref[:, :], precision))
     dc_prev = jnp.where(m, dc2 * f, dc)
 
     dxp_ref[0] = dz
-    dw_ref[:, :] += _mxu_dot(h_prev.T, dz, precision)
+    dw_ref[:, :] += _mxu_dot_tn(h_prev, dz, precision)
     db_ref[:, :] += jnp.sum(dz, axis=0, keepdims=True)
     dh_scr[:] = dh_prev
     dc_scr[:] = dc_prev
@@ -382,10 +384,10 @@ def _bwd2_kernel(xp_ref, mask_ref, w_ref, b_ref, hprev_ref, cprev_ref,
             [di * i * (1.0 - i), df * f * (1.0 - f), dg * (1.0 - g * g),
              do * o * (1.0 - o)], axis=-1)
         dh_prev = (jnp.where(m > 0, 0.0, dh)
-                   + _mxu_dot(dz, w_ref[d].T, precision))
+                   + _mxu_dot_nt(dz, w_ref[d], precision))
         dc_prev = jnp.where(m > 0, dc2 * f, dc)
         dxp_ref[0, d] = dz
-        dw_ref[d] += _mxu_dot(h_prev.T, dz, precision)
+        dw_ref[d] += _mxu_dot_tn(h_prev, dz, precision)
         db_ref[d] += jnp.sum(dz, axis=0, keepdims=True)
         dh_scr[d] = dh_prev
         dc_scr[d] = dc_prev
@@ -613,16 +615,16 @@ def _bwdf_kernel(xr_ref, xf_ref, mask_ref, wih_ref, bih_ref, whh_ref,
             [di * i * (1.0 - i), df * f * (1.0 - f), dg * (1.0 - g * g),
              do * o * (1.0 - o)], axis=-1)
         dh_prev = (jnp.where(m > 0, 0.0, dh)
-                   + _mxu_dot(dz, whh_ref[d].T, precision))
+                   + _mxu_dot_nt(dz, whh_ref[d], precision))
         dc_prev = jnp.where(m > 0, dc2 * f, dc)
-        dx = _mxu_dot(dz, wih_ref[d].T, precision)
+        dx = _mxu_dot_nt(dz, wih_ref[d], precision)
         if d == 0:
             dx0_ref[0] = dx
         else:
             dx1_ref[0] = dx
-        dwih_ref[d] += _mxu_dot(x_t.T, dz, precision)
+        dwih_ref[d] += _mxu_dot_tn(x_t, dz, precision)
         dbih_ref[d] += jnp.sum(dz, axis=0, keepdims=True)
-        dwhh_ref[d] += _mxu_dot(h_prev.T, dz, precision)
+        dwhh_ref[d] += _mxu_dot_tn(h_prev, dz, precision)
         dbhh_ref[d] += jnp.sum(dz, axis=0, keepdims=True)
         dh_scr[d] = dh_prev
         dc_scr[d] = dc_prev
