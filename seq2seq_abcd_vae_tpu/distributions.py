@@ -50,7 +50,29 @@ def log_pdf_isotropic_gaussian(value: jax.Array, mean: jax.Array,
     return jnp.sum(ll)
 
 
+def _use_fast_rng() -> bool:
+    import os
+    return os.environ.get("SEQ2SEQ_FAST_RNG", "") == "1"
+
+
 def gaussian_noise(key: jax.Array, shape, dtype=jnp.float32) -> jax.Array:
+    """Standard normals; the decoder presamples (T, B, F) of these.
+
+    ``SEQ2SEQ_FAST_RNG=1`` switches the bit source from threefry to the
+    'rbg' PRNG (XLA RngBitGenerator — the TPU's hardware RNG path): the
+    round-3 device trace priced the threefry draw of the publication
+    shape's 17M normals at 1.1 ms/step.  Opt-in because rbg bit streams
+    are backend-specific: same-seed runs stay reproducible on one
+    platform but CPU and TPU runs of the same seed diverge (threefry,
+    the default, is bit-identical everywhere).  Key derivation still
+    flows from the caller's threefry key, so seeds/splits behave
+    identically.
+    """
+    if _use_fast_rng():
+        data = jax.random.key_data(key)  # (2,) uint32 threefry key
+        rbg = jax.random.wrap_key_data(
+            jnp.tile(data.astype(jnp.uint32), 2), impl="rbg")
+        return jax.random.normal(rbg, shape, dtype)
     return jax.random.normal(key, shape, dtype)
 
 

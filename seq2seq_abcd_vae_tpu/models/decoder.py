@@ -241,13 +241,18 @@ def _run_direction(cfg: DecoderConfig, cell_params: dict,
         w1 = em["lin1"]["w"]
         if w1.shape[0] == 2:
             from ..ops import decoder_pallas
+            # row lengths, recovered from the (contiguous-prefix) step
+            # mask by a trivial reduce; the kernels synthesize per-step
+            # masks from these in-kernel, so the (T,B,1) mask_t /
+            # prev_mask_t built above are dead code on this branch (XLA
+            # DCEs them) and nothing mask-shaped reaches the device
+            lengths_row = jnp.sum(step_mask.astype(jnp.float32), axis=1)
             w1_flat = jnp.moveaxis(w1, 0, 1).reshape(w1.shape[1], -1)
             w_cat2 = jnp.concatenate([cell_params["w_hh"], w1_flat],
                                      axis=1)
             if cfg.rnn_type == "LSTM":
                 outs, mean_s, logvar_s = decoder_pallas.decoder_loop(
-                    noise_t, mask_t.astype(h0.dtype),
-                    prev_mask_t.astype(h0.dtype), w_cat2,
+                    noise_t, lengths_row, w_cat2,
                     cell_params["b_ih"] + cell_params["b_hh"],
                     em["lin1"]["b"].reshape(-1), em["lin2"]["w"][0],
                     em["lin2"]["w"][1], em["lin2"]["b"].reshape(-1),
@@ -276,8 +281,7 @@ def _run_direction(cfg: DecoderConfig, cell_params: dict,
                 # (candidate-gate reset product includes b_hh; torch
                 # GRUCell semantics)
                 outs = decoder_pallas.gru_decoder_loop(
-                    noise_t, mask_t.astype(h0.dtype),
-                    prev_mask_t.astype(h0.dtype), w_cat2,
+                    noise_t, lengths_row, w_cat2,
                     cell_params["b_ih"], cell_params["b_hh"],
                     em["lin1"]["b"].reshape(-1), em["lin2"]["w"][0],
                     em["lin2"]["w"][1], em["lin2"]["b"].reshape(-1),
@@ -286,8 +290,7 @@ def _run_direction(cfg: DecoderConfig, cell_params: dict,
                     precision=rnn_mod.kernel_precision())
             else:  # Elman RNN: biases simply add (torch RNNCell)
                 outs = decoder_pallas.rnn_decoder_loop(
-                    noise_t, mask_t.astype(h0.dtype),
-                    prev_mask_t.astype(h0.dtype), w_cat2,
+                    noise_t, lengths_row, w_cat2,
                     cell_params["b_ih"] + cell_params["b_hh"],
                     em["lin1"]["b"].reshape(-1), em["lin2"]["w"][0],
                     em["lin2"]["w"][1], em["lin2"]["b"].reshape(-1),

@@ -136,26 +136,33 @@ def run_rnn_layer(rnn_type: str, params: dict, x: jax.Array, mask: jax.Array,
     xp = input_proj(params, x)  # (B, T, G) — one big matmul
     xp_t = jnp.swapaxes(xp, 0, 1)  # (T, B, G)
     if rnn_type in ("LSTM", "GRU", "RNN") and resolved_backend() == "pallas":
-        m_t = jnp.swapaxes(mask, 0, 1)
+        # Kernels take row lengths and synthesize step masks in-kernel
+        # (ops/_mask_utils.span_mask): nothing mask-shaped reaches the
+        # device.  The (B, T) mask is a contiguous prefix by
+        # construction, so its row sum is the length.
+        lengths = jnp.sum(mask.astype(jnp.float32), axis=1)
         interpret = jax.default_backend() != "tpu"
         if reverse:
-            xp_t, m_t = jnp.flip(xp_t, 0), jnp.flip(m_t, 0)
+            xp_t = jnp.flip(xp_t, 0)
         if rnn_type == "LSTM":
             from ..ops import lstm_pallas
             outs, h_n, c_n = lstm_pallas.lstm_layer(
-                xp_t, m_t, params["w_hh"], params["b_hh"],
-                interpret=interpret, precision=kernel_precision())
+                xp_t, lengths, params["w_hh"], params["b_hh"],
+                interpret=interpret, precision=kernel_precision(),
+                reverse=reverse)
         elif rnn_type == "GRU":
             from ..ops import gru_pallas
             outs, h_n = gru_pallas.gru_layer(
-                xp_t, m_t, params["w_hh"], params["b_hh"],
-                interpret=interpret, precision=kernel_precision())
+                xp_t, lengths, params["w_hh"], params["b_hh"],
+                interpret=interpret, precision=kernel_precision(),
+                reverse=reverse)
             c_n = jnp.zeros_like(h_n)
         else:
             from ..ops import elman_pallas
             outs, h_n = elman_pallas.rnn_layer(
-                xp_t, m_t, params["w_hh"], params["b_hh"],
-                interpret=interpret, precision=kernel_precision())
+                xp_t, lengths, params["w_hh"], params["b_hh"],
+                interpret=interpret, precision=kernel_precision(),
+                reverse=reverse)
             c_n = jnp.zeros_like(h_n)
         if reverse:
             outs = jnp.flip(outs, 0)
@@ -240,24 +247,28 @@ def run_rnn_layer_bidir(rnn_type: str, p_fwd: dict, p_bwd: dict,
     if rnn_type in ("LSTM", "GRU", "RNN") and (enc_backend == "pallas" or (
             enc_backend == "auto" and resolved_backend() == "pallas")):
         x_t = jnp.swapaxes(x, 0, 1)                          # (T, B, F)
+        # lengths only: per-direction step masks are synthesized
+        # in-kernel, so the (T, 2, B, 1) stack/flip above is dead code
+        # on this branch (XLA DCEs it)
+        lengths = jnp.sum(mask.astype(jnp.float32), axis=1)
         interpret = jax.default_backend() != "tpu"
         if rnn_type == "LSTM":
             from ..ops import lstm_pallas
             outs, h_n, c_n = lstm_pallas.lstm_layer_bidir_fused(
-                x_t, m, stacked["w_ih"], stacked["b_ih"],
+                x_t, lengths, stacked["w_ih"], stacked["b_ih"],
                 stacked["w_hh"], stacked["b_hh"],
                 interpret=interpret, precision=kernel_precision())
         elif rnn_type == "GRU":
             from ..ops import gru_pallas
             outs, h_n = gru_pallas.gru_layer_bidir_fused(
-                x_t, m, stacked["w_ih"], stacked["b_ih"],
+                x_t, lengths, stacked["w_ih"], stacked["b_ih"],
                 stacked["w_hh"], stacked["b_hh"],
                 interpret=interpret, precision=kernel_precision())
             c_n = jnp.zeros_like(h_n)
         else:
             from ..ops import elman_pallas
             outs, h_n = elman_pallas.rnn_layer_bidir_fused(
-                x_t, m, stacked["w_ih"], stacked["b_ih"],
+                x_t, lengths, stacked["w_ih"], stacked["b_ih"],
                 stacked["w_hh"], stacked["b_hh"],
                 interpret=interpret, precision=kernel_precision())
             c_n = jnp.zeros_like(h_n)

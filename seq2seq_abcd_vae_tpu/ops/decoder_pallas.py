@@ -55,15 +55,35 @@ from .mxu import mxu_dot_nt as _mxu_dot_nt
 from .mxu import mxu_dot_tn as _mxu_dot_tn
 
 
-def _fwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
+def _step_masks(t, len_ref):
+    """Synthesize this step's (mask, prev_mask) from row lengths.
+
+    Masks are intervals: step t is active while t < len, and its
+    feedback input is gated by prev_mask = (1 <= t) & (t-1 < len).  The
+    closed form ``clip(min(t - lo + 1, hi - t), 0, 1)`` is exact for
+    integral values, so a (B, 1) float lengths block resident in VMEM
+    replaces two streamed (T, B, 1) mask tensors — whose trailing-1
+    tiling made every (1, B, 1) block a 128-lane-wide DMA per step, and
+    whose XLA-side assembly (pad/shift/convert) cost ~0.8 ms/step at
+    the publication shape (round-3 device trace).
+    """
+    tf = t.astype(jnp.float32)
+    ln = len_ref[:, :]
+    mt = jnp.clip(jnp.minimum(tf + 1.0, ln - tf), 0.0, 1.0)
+    pmt = jnp.clip(jnp.minimum(tf, ln + 1.0 - tf), 0.0, 1.0)
+    return mt, pmt
+
+
+def _fwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
                 b1_ref, w2m_ref, w2v_ref, b2_ref, wih_ref,
                 h0_ref, c0_ref,
                 out_ref, hs_ref, cs_ref, mean_ref, logvar_ref,
                 h_scr, c_scr,
                 *, hidden: int, m: int, precision=None):
     """One decoder step.  Streams: noise (1,B,F) at block max(t-1,0)
-    (index-map shift; see _shifted_noise_spec), mask (1,B,1), prev_mask
-    (1,B,1).  Resident: wcat (H, 4H+2m), bias (1,4H) = b_ih+b_hh, b1
+    (index-map shift; see _shifted_noise_spec).  Resident: lengths
+    (B,1) — step masks synthesized in-kernel (_step_masks),
+    wcat (H, 4H+2m), bias (1,4H) = b_ih+b_hh, b1
     (1,2m), w2m/w2v (m,F), b2 (1,2F) = [b2_mean|b2_logvar], wih (F,4H),
     h0/c0 (B,H).  Outputs per step: out = the PRE-mask h2 (scan-path
     parity: padded steps carry candidate values, losses mask
@@ -84,6 +104,7 @@ def _fwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
 
     h = h_scr[:]
     c = c_scr[:]
+    mt, pmt = _step_masks(t, len_ref)
     big = _mxu_dot(h, wcat_ref[:, :], precision)
     hp = big[:, :4 * hidden]
     emh = jnp.tanh(big[:, 4 * hidden:] + b1_ref[:, :])
@@ -93,7 +114,7 @@ def _fwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
     logvar = (_mxu_dot(emh[:, m:], w2v_ref[:, :], precision)
               + b2_ref[:, f_dim:])
     x = mean + jnp.exp(0.5 * logvar) * noise_ref[0]
-    x = x * pmask_ref[0]  # zero first input per row
+    x = x * pmt  # zero first input per row
     gates = (hp + _mxu_dot(x, wih_ref[:, :], precision)
              + bias_ref[:, :])
     i = jax.nn.sigmoid(gates[:, :hidden])
@@ -102,7 +123,6 @@ def _fwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
     o = jax.nn.sigmoid(gates[:, 3 * hidden:])
     c2 = f * c + i * g
     h2 = o * jnp.tanh(c2)
-    mt = mask_ref[0]
     h = jnp.where(mt > 0, h2, h)
     c = jnp.where(mt > 0, c2, c)
     h_scr[:] = h
@@ -114,7 +134,7 @@ def _fwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
     logvar_ref[0] = logvar
 
 
-def _bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
+def _bwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
                 b1_ref, w2m_ref, w2v_ref, b2_ref, wih_ref,
                 hprev_ref, cprev_ref, h0_ref, c0_ref, dout_ref,
                 dmean_ref, dlogvar_ref,
@@ -149,8 +169,7 @@ def _bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
                        hprev_ref[0]).astype(jnp.float32)
     c_prev = jnp.where(first_step, c0_ref[:, :],
                        cprev_ref[0]).astype(jnp.float32)
-    mt = mask_ref[0]
-    pmt = pmask_ref[0]
+    mt, pmt = _step_masks(nt - 1 - s, len_ref)
     eps = noise_ref[0]
     f_dim = w2m_ref.shape[1]
 
@@ -245,8 +264,7 @@ def _specs(t, b, f, hidden, m, g_all):
                                    memory_space=pltpu.VMEM)
     ins = [
         _shifted_noise_spec(t, b, f),  # noise (unshifted; see above)
-        stream3((1, b, 1)),            # mask
-        stream3((1, b, 1)),            # prev_mask
+        res((b, 1)),                   # lengths (masks made in-kernel)
         res((hidden, g_all)),          # wcat
         res((1, 4 * hidden)),          # bias (b_ih + b_hh)
         res((1, 2 * m)),               # b1
@@ -258,7 +276,7 @@ def _specs(t, b, f, hidden, m, g_all):
     return ins, stream3, res
 
 
-def _fwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
+def _fwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
               h0, c0, interpret, precision):
     t, b, f = noise.shape
     hidden = h0.shape[1]
@@ -293,11 +311,11 @@ def _fwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih, h0, c0)
+    )(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih, h0, c0)
     return outs, hs, cs, mean_s, logvar_s
 
 
-def _bwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
+def _bwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
               h0, c0, hs, cs, douts, dmean_s, dlogvar_s, interpret,
               precision):
     t, b, f = noise.shape
@@ -313,9 +331,7 @@ def _bwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
         memory_space=pltpu.VMEM)
     rev_ins = [
         shift3((1, b, f)),             # noise at t-1 (unshifted input)
-        rev3((1, b, 1)),               # mask
-        rev3((1, b, 1)),               # prev_mask
-    ] + ins[3:] + [
+    ] + ins[1:] + [
         shift3((1, b, hidden)),        # hs at t-1 -> h_prev
         shift3((1, b, hidden)),        # cs at t-1 -> c_prev
         res((b, hidden)),              # h0
@@ -356,39 +372,39 @@ def _bwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
+    )(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
       hs, cs, h0, c0, douts, dmean_s, dlogvar_s)
     return grads
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13))
-def _decoder_loop_cvjp(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def _decoder_loop_cvjp(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
                        wih, h0, c0, interpret, precision):
     outs, hs, cs, mean_s, logvar_s = _fwd_call(
-        noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih, h0, c0,
+        noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih, h0, c0,
         interpret, precision)
     return outs, mean_s, logvar_s
 
 
-def _decoder_loop_fwd(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2,
+def _decoder_loop_fwd(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
                       wih, h0, c0, interpret, precision):
     outs, hs, cs, mean_s, logvar_s = _fwd_call(
-        noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih, h0, c0,
+        noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih, h0, c0,
         interpret, precision)
-    return (outs, mean_s, logvar_s), (noise, mask, pmask, wcat, bias, b1,
+    return (outs, mean_s, logvar_s), (noise, lengths_f, wcat, bias, b1,
                                       w2m, w2v, b2, wih, h0, c0, hs, cs)
 
 
 def _decoder_loop_bwd(interpret, precision, residuals, grads):
-    (noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih, h0, c0, hs,
+    (noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih, h0, c0, hs,
      cs) = residuals
     douts, dmean_s, dlogvar_s = grads
     (dwcat, dbias, db1, dw2m, dw2v, db2, dwih, dh0,
-     dc0) = _bwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2,
+     dc0) = _bwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
                       wih, h0, c0, hs, cs, douts, dmean_s, dlogvar_s,
                       interpret, precision)
-    return (jnp.zeros_like(noise), jnp.zeros_like(mask),
-            jnp.zeros_like(pmask), dwcat, dbias.reshape(-1),
+    return (jnp.zeros_like(noise), jnp.zeros_like(lengths_f),
+            dwcat, dbias.reshape(-1),
             db1.reshape(-1), dw2m, dw2v, db2.reshape(-1), dwih, dh0, dc0)
 
 
@@ -402,7 +418,7 @@ _decoder_loop_cvjp.defvjp(_decoder_loop_fwd, _decoder_loop_bwd)
 # the input pre-activation — torch.nn.GRUCell semantics).
 # ---------------------------------------------------------------------------
 
-def _gru_fwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bih_ref,
+def _gru_fwd_kernel(noise_ref, len_ref, wcat_ref, bih_ref,
                     bhh_ref, b1_ref, w2m_ref, w2v_ref, b2_ref, wih_ref,
                     h0_ref, out_ref, hs_ref, h_scr,
                     *, hidden: int, m: int, precision=None):
@@ -413,6 +429,7 @@ def _gru_fwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bih_ref,
         h_scr[:] = h0_ref[:, :].astype(jnp.float32)
 
     h = h_scr[:]
+    mt, pmt = _step_masks(t, len_ref)
     big = _mxu_dot(h, wcat_ref[:, :], precision)
     hp = big[:, :3 * hidden] + bhh_ref[:, :]
     emh = jnp.tanh(big[:, 3 * hidden:] + b1_ref[:, :])
@@ -422,7 +439,7 @@ def _gru_fwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bih_ref,
     logvar = (_mxu_dot(emh[:, m:], w2v_ref[:, :], precision)
               + b2_ref[:, f_dim:])
     x = mean + jnp.exp(0.5 * logvar) * noise_ref[0]
-    x = x * pmask_ref[0]  # zero first input per row
+    x = x * pmt  # zero first input per row
     xp = (_mxu_dot(x, wih_ref[:, :], precision)
           + bih_ref[:, :])
     r = jax.nn.sigmoid(xp[:, :hidden] + hp[:, :hidden])
@@ -430,14 +447,13 @@ def _gru_fwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bih_ref,
                        + hp[:, hidden:2 * hidden])
     n = jnp.tanh(xp[:, 2 * hidden:] + r * hp[:, 2 * hidden:])
     h2 = (1.0 - z) * n + z * h
-    mt = mask_ref[0]
     h = jnp.where(mt > 0, h2, h)
     h_scr[:] = h
     out_ref[0] = h2
     hs_ref[0] = h
 
 
-def _gru_bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bih_ref,
+def _gru_bwd_kernel(noise_ref, len_ref, wcat_ref, bih_ref,
                     bhh_ref, b1_ref, w2m_ref, w2v_ref, b2_ref, wih_ref,
                     hprev_ref, dout_ref,
                     dwcat_ref, dbih_ref, dbhh_ref, db1_ref, dw2m_ref,
@@ -460,8 +476,7 @@ def _gru_bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bih_ref,
         dwih_ref[:, :] = jnp.zeros_like(dwih_ref)
 
     h_prev = hprev_ref[0].astype(jnp.float32)
-    mt = mask_ref[0]
-    pmt = pmask_ref[0]
+    mt, pmt = _step_masks(nt - 1 - s, len_ref)
     eps = noise_ref[0]
     f_dim = w2m_ref.shape[1]
 
@@ -532,8 +547,7 @@ def _gru_specs(b, f, hidden, m, g_all):
                                    memory_space=pltpu.VMEM)
     ins = [
         _shifted_noise_spec(0, b, f),  # noise (unshifted; index-map shift)
-        stream3((1, b, 1)),            # mask
-        stream3((1, b, 1)),            # prev_mask
+        res((b, 1)),                   # lengths (masks made in-kernel)
         res((hidden, g_all)),          # wcat
         res((1, 3 * hidden)),          # b_ih
         res((1, 3 * hidden)),          # b_hh
@@ -546,7 +560,7 @@ def _gru_specs(b, f, hidden, m, g_all):
     return ins, stream3, res
 
 
-def _gru_fwd_call(noise, mask, pmask, wcat, bih, bhh, b1, w2m, w2v, b2,
+def _gru_fwd_call(noise, lengths_f, wcat, bih, bhh, b1, w2m, w2v, b2,
                   wih, h0, interpret, precision):
     t, b, f = noise.shape
     hidden = h0.shape[1]
@@ -565,11 +579,11 @@ def _gru_fwd_call(noise, mask, pmask, wcat, bih, bhh, b1, w2m, w2v, b2,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(noise, mask, pmask, wcat, bih, bhh, b1, w2m, w2v, b2, wih, h0)
+    )(noise, lengths_f, wcat, bih, bhh, b1, w2m, w2v, b2, wih, h0)
     return outs, hs
 
 
-def _gru_bwd_call(noise, mask, pmask, wcat, bih, bhh, b1, w2m, w2v, b2,
+def _gru_bwd_call(noise, lengths_f, wcat, bih, bhh, b1, w2m, w2v, b2,
                   wih, h0, hs, douts, interpret, precision):
     t, b, f = noise.shape
     hidden = h0.shape[1]
@@ -584,9 +598,7 @@ def _gru_bwd_call(noise, mask, pmask, wcat, bih, bhh, b1, w2m, w2v, b2,
         memory_space=pltpu.VMEM)
     rev_ins = [
         shift3((1, b, f)),             # noise at t-1 (unshifted input)
-        rev3((1, b, 1)),               # mask
-        rev3((1, b, 1)),               # prev_mask
-    ] + ins[3:] + [
+    ] + ins[1:] + [
         rev3((1, b, hidden)),          # h_prev
         rev3((1, b, hidden)),          # dout
     ]
@@ -617,36 +629,36 @@ def _gru_bwd_call(noise, mask, pmask, wcat, bih, bhh, b1, w2m, w2v, b2,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(noise, mask, pmask, wcat, bih, bhh, b1, w2m, w2v, b2, wih,
+    )(noise, lengths_f, wcat, bih, bhh, b1, w2m, w2v, b2, wih,
       h_prev, douts)
     return grads
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13))
-def _gru_loop_cvjp(noise, mask, pmask, wcat, bih, bhh, b1, w2m, w2v, b2,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def _gru_loop_cvjp(noise, lengths_f, wcat, bih, bhh, b1, w2m, w2v, b2,
                    wih, h0, interpret, precision):
-    outs, hs = _gru_fwd_call(noise, mask, pmask, wcat, bih, bhh, b1, w2m,
+    outs, hs = _gru_fwd_call(noise, lengths_f, wcat, bih, bhh, b1, w2m,
                              w2v, b2, wih, h0, interpret, precision)
     return outs
 
 
-def _gru_loop_fwd(noise, mask, pmask, wcat, bih, bhh, b1, w2m, w2v, b2,
+def _gru_loop_fwd(noise, lengths_f, wcat, bih, bhh, b1, w2m, w2v, b2,
                   wih, h0, interpret, precision):
-    outs, hs = _gru_fwd_call(noise, mask, pmask, wcat, bih, bhh, b1, w2m,
+    outs, hs = _gru_fwd_call(noise, lengths_f, wcat, bih, bhh, b1, w2m,
                              w2v, b2, wih, h0, interpret, precision)
-    return outs, (noise, mask, pmask, wcat, bih, bhh, b1, w2m, w2v, b2,
+    return outs, (noise, lengths_f, wcat, bih, bhh, b1, w2m, w2v, b2,
                   wih, h0, hs)
 
 
 def _gru_loop_bwd(interpret, precision, residuals, douts):
-    (noise, mask, pmask, wcat, bih, bhh, b1, w2m, w2v, b2, wih, h0,
+    (noise, lengths_f, wcat, bih, bhh, b1, w2m, w2v, b2, wih, h0,
      hs) = residuals
     (dwcat, dbih, dbhh, db1, dw2m, dw2v, db2, dwih,
-     dh0) = _gru_bwd_call(noise, mask, pmask, wcat, bih, bhh, b1, w2m,
+     dh0) = _gru_bwd_call(noise, lengths_f, wcat, bih, bhh, b1, w2m,
                           w2v, b2, wih, h0, hs, douts, interpret,
                           precision)
-    return (jnp.zeros_like(noise), jnp.zeros_like(mask),
-            jnp.zeros_like(pmask), dwcat, dbih.reshape(-1),
+    return (jnp.zeros_like(noise), jnp.zeros_like(lengths_f),
+            dwcat, dbih.reshape(-1),
             dbhh.reshape(-1), db1.reshape(-1), dw2m, dw2v,
             db2.reshape(-1), dwih, dh0)
 
@@ -654,18 +666,19 @@ def _gru_loop_bwd(interpret, precision, residuals, douts):
 _gru_loop_cvjp.defvjp(_gru_loop_fwd, _gru_loop_bwd)
 
 
-def gru_decoder_loop(noise, mask, prev_mask, w_cat, b_ih, b_hh,
+def gru_decoder_loop(noise, lengths, w_cat, b_ih, b_hh,
                      b1_flat, w2_mean, w2_logvar, b2_flat, w_ih, h0,
                      interpret: bool = False, precision=None):
-    """GRU analogue of ``decoder_loop``.
+    """GRU analogue of ``decoder_loop`` (lengths in, masks in-kernel).
 
     Same streaming layout; w_cat is (H, 3H + 2m), b_ih/b_hh stay separate
     (3H,) because torch's GRU candidate gate is
     tanh(x_n + b_ih_n + r * (h @ w_hh_n + b_hh_n)).  No cell state.
     Returns outs (T, B, H), the PRE-mask candidate h2 per step.
     """
+    lengths_f = jnp.asarray(lengths, jnp.float32).reshape(-1, 1)
     return _gru_loop_cvjp(
-        noise, mask, prev_mask, w_cat, b_ih.reshape(1, -1),
+        noise, lengths_f, w_cat, b_ih.reshape(1, -1),
         b_hh.reshape(1, -1), b1_flat.reshape(1, -1), w2_mean, w2_logvar,
         b2_flat.reshape(1, -1), w_ih, h0, interpret, precision)
 
@@ -676,7 +689,7 @@ def gru_decoder_loop(noise, mask, prev_mask, w_cat, b_ih, b_hh,
 # torch.nn.RNNCell), so the kernel takes bias = b_ih + b_hh.
 # ---------------------------------------------------------------------------
 
-def _rnn_fwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
+def _rnn_fwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
                     b1_ref, w2m_ref, w2v_ref, b2_ref, wih_ref,
                     h0_ref, out_ref, hs_ref, h_scr,
                     *, hidden: int, m: int, precision=None):
@@ -687,6 +700,7 @@ def _rnn_fwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
         h_scr[:] = h0_ref[:, :].astype(jnp.float32)
 
     h = h_scr[:]
+    mt, pmt = _step_masks(t, len_ref)
     big = _mxu_dot(h, wcat_ref[:, :], precision)
     hp = big[:, :hidden]
     emh = jnp.tanh(big[:, hidden:] + b1_ref[:, :])
@@ -696,17 +710,16 @@ def _rnn_fwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
     logvar = (_mxu_dot(emh[:, m:], w2v_ref[:, :], precision)
               + b2_ref[:, f_dim:])
     x = mean + jnp.exp(0.5 * logvar) * noise_ref[0]
-    x = x * pmask_ref[0]  # zero first input per row
+    x = x * pmt  # zero first input per row
     h2 = jnp.tanh(hp + _mxu_dot(x, wih_ref[:, :], precision)
                   + bias_ref[:, :])
-    mt = mask_ref[0]
     h = jnp.where(mt > 0, h2, h)
     h_scr[:] = h
     out_ref[0] = h2
     hs_ref[0] = h
 
 
-def _rnn_bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
+def _rnn_bwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
                     b1_ref, w2m_ref, w2v_ref, b2_ref, wih_ref,
                     hprev_ref, dout_ref,
                     dwcat_ref, dbias_ref, db1_ref, dw2m_ref, dw2v_ref,
@@ -728,8 +741,7 @@ def _rnn_bwd_kernel(noise_ref, mask_ref, pmask_ref, wcat_ref, bias_ref,
         dwih_ref[:, :] = jnp.zeros_like(dwih_ref)
 
     h_prev = hprev_ref[0].astype(jnp.float32)
-    mt = mask_ref[0]
-    pmt = pmask_ref[0]
+    mt, pmt = _step_masks(nt - 1 - s, len_ref)
     eps = noise_ref[0]
     f_dim = w2m_ref.shape[1]
 
@@ -786,8 +798,7 @@ def _rnn_specs(b, f, hidden, m, g_all):
                                    memory_space=pltpu.VMEM)
     ins = [
         _shifted_noise_spec(0, b, f),  # noise (unshifted; index-map shift)
-        stream3((1, b, 1)),            # mask
-        stream3((1, b, 1)),            # prev_mask
+        res((b, 1)),                   # lengths (masks made in-kernel)
         res((hidden, g_all)),          # wcat
         res((1, hidden)),              # bias (b_ih + b_hh)
         res((1, 2 * m)),               # b1
@@ -799,7 +810,7 @@ def _rnn_specs(b, f, hidden, m, g_all):
     return ins, stream3, res
 
 
-def _rnn_fwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2,
+def _rnn_fwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
                   wih, h0, interpret, precision):
     t, b, f = noise.shape
     hidden = h0.shape[1]
@@ -818,11 +829,11 @@ def _rnn_fwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih, h0)
+    )(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih, h0)
     return outs, hs
 
 
-def _rnn_bwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2,
+def _rnn_bwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
                   wih, h0, hs, douts, interpret, precision):
     t, b, f = noise.shape
     hidden = h0.shape[1]
@@ -837,9 +848,7 @@ def _rnn_bwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2,
         memory_space=pltpu.VMEM)
     rev_ins = [
         shift3((1, b, f)),             # noise at t-1 (unshifted input)
-        rev3((1, b, 1)),               # mask
-        rev3((1, b, 1)),               # prev_mask
-    ] + ins[3:] + [
+    ] + ins[1:] + [
         rev3((1, b, hidden)),          # h_prev
         rev3((1, b, hidden)),          # dout
     ]
@@ -869,58 +878,60 @@ def _rnn_bwd_call(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih,
+    )(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
       h_prev, douts)
     return grads
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
-def _rnn_loop_cvjp(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+def _rnn_loop_cvjp(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
                    wih, h0, interpret, precision):
-    outs, hs = _rnn_fwd_call(noise, mask, pmask, wcat, bias, b1, w2m,
+    outs, hs = _rnn_fwd_call(noise, lengths_f, wcat, bias, b1, w2m,
                              w2v, b2, wih, h0, interpret, precision)
     return outs
 
 
-def _rnn_loop_fwd(noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2,
+def _rnn_loop_fwd(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
                   wih, h0, interpret, precision):
-    outs, hs = _rnn_fwd_call(noise, mask, pmask, wcat, bias, b1, w2m,
+    outs, hs = _rnn_fwd_call(noise, lengths_f, wcat, bias, b1, w2m,
                              w2v, b2, wih, h0, interpret, precision)
-    return outs, (noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2,
+    return outs, (noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
                   wih, h0, hs)
 
 
 def _rnn_loop_bwd(interpret, precision, residuals, douts):
-    (noise, mask, pmask, wcat, bias, b1, w2m, w2v, b2, wih, h0,
+    (noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih, h0,
      hs) = residuals
     (dwcat, dbias, db1, dw2m, dw2v, db2, dwih,
-     dh0) = _rnn_bwd_call(noise, mask, pmask, wcat, bias, b1, w2m,
+     dh0) = _rnn_bwd_call(noise, lengths_f, wcat, bias, b1, w2m,
                           w2v, b2, wih, h0, hs, douts, interpret,
                           precision)
-    return (jnp.zeros_like(noise), jnp.zeros_like(mask),
-            jnp.zeros_like(pmask), dwcat, dbias.reshape(-1),
+    return (jnp.zeros_like(noise), jnp.zeros_like(lengths_f),
+            dwcat, dbias.reshape(-1),
             db1.reshape(-1), dw2m, dw2v, db2.reshape(-1), dwih, dh0)
 
 
 _rnn_loop_cvjp.defvjp(_rnn_loop_fwd, _rnn_loop_bwd)
 
 
-def rnn_decoder_loop(noise, mask, prev_mask, w_cat, bias, b1_flat,
+def rnn_decoder_loop(noise, lengths, w_cat, bias, b1_flat,
                      w2_mean, w2_logvar, b2_flat, w_ih, h0,
                      interpret: bool = False, precision=None):
-    """Elman-RNN analogue of ``decoder_loop``.
+    """Elman-RNN analogue of ``decoder_loop`` (lengths in, masks
+    in-kernel).
 
     Same streaming layout; w_cat is (H, H + 2m), bias = b_ih + b_hh
     (torch.nn.RNNCell: the biases simply add inside the tanh).  No cell
     state.  Returns outs (T, B, H), the PRE-mask candidate h2 per step.
     """
+    lengths_f = jnp.asarray(lengths, jnp.float32).reshape(-1, 1)
     return _rnn_loop_cvjp(
-        noise, mask, prev_mask, w_cat, bias.reshape(1, -1),
+        noise, lengths_f, w_cat, bias.reshape(1, -1),
         b1_flat.reshape(1, -1), w2_mean, w2_logvar,
         b2_flat.reshape(1, -1), w_ih, h0, interpret, precision)
 
 
-def decoder_loop(noise, mask, prev_mask, w_cat, bias, b1_flat,
+def decoder_loop(noise, lengths, w_cat, bias, b1_flat,
                  w2_mean, w2_logvar, b2_flat, w_ih, h0, c0,
                  interpret: bool = False, precision=None):
     """Run the full autoregressive decoder time loop in one kernel.
@@ -929,11 +940,12 @@ def decoder_loop(noise, mask, prev_mask, w_cat, bias, b1_flat,
       noise: (T, B, F) presampled standard normals, UNSHIFTED (step t
         reads block max(t-1, 0) via the BlockSpec index map, so it
         consumes the noise that sampled position t-1's emission; the
-        t=0 block content is dead because prev_mask zeroes each row's
-        first active input).
-      mask: (T, B, 1) float validity of each step.
-      prev_mask: (T, B, 1) float validity of the previous step (gates the
-        feedback input; zero on each row's first active step).
+        t=0 block content is dead because the in-kernel prev_mask
+        zeroes each row's first active input).
+      lengths: (B,) valid step counts.  Step and feedback masks are
+        synthesized in-kernel from a resident (B, 1) float block
+        (_step_masks) — nothing mask-shaped is streamed or assembled
+        host/XLA-side.
       w_cat: (H, 4H + 2m) fused [recurrent | emission-lin1] weight.
       bias: (4H,) = b_ih + b_hh.
       b1_flat: (2m,) emission lin1 bias, [mean-branch | logvar-branch].
@@ -954,7 +966,8 @@ def decoder_loop(noise, mask, prev_mask, w_cat, bias, b1_flat,
         (dropped) pre-first-position emission; the caller overwrites it
         with the final position's emission (models/decoder.py).
     """
+    lengths_f = jnp.asarray(lengths, jnp.float32).reshape(-1, 1)
     return _decoder_loop_cvjp(
-        noise, mask, prev_mask, w_cat, bias.reshape(1, -1),
+        noise, lengths_f, w_cat, bias.reshape(1, -1),
         b1_flat.reshape(1, -1), w2_mean, w2_logvar, b2_flat.reshape(1, -1),
         w_ih, h0, c0, interpret, precision)

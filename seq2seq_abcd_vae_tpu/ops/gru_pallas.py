@@ -48,6 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import _vjp_utils as _vjp
+from ._mask_utils import span_mask as _span_mask
 from .mxu import mxu_dot as _mxu_dot
 from .mxu import mxu_dot_nt as _mxu_dot_nt
 from .mxu import mxu_dot_tn as _mxu_dot_tn
@@ -89,8 +90,8 @@ def _gru_adjoint(dh, m, h_prev, r, z, n, hn_pre):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(xp_ref, mask_ref, w_ref, b_ref, out_ref, hn_ref, h_scr,
-                *, precision=None):
+def _fwd_kernel(xp_ref, len_ref, w_ref, b_ref, out_ref, hn_ref, h_scr,
+                *, precision=None, reverse=False):
     t = pl.program_id(0)
     nt = pl.num_programs(0)
 
@@ -103,7 +104,7 @@ def _fwd_kernel(xp_ref, mask_ref, w_ref, b_ref, out_ref, hn_ref, h_scr,
     hp = _mxu_dot(h, w_ref[:, :], precision) + b_ref[:, :]
     r, z, n, _ = _gru_gates(xp_ref[0], hp, hidden)
     h2 = (1.0 - z) * n + z * h
-    m = mask_ref[0]
+    m = _span_mask(t, nt, len_ref, reverse)
     h = jnp.where(m > 0, h2, h)
     h_scr[:] = h
     out_ref[0] = h
@@ -113,11 +114,12 @@ def _fwd_kernel(xp_ref, mask_ref, w_ref, b_ref, out_ref, hn_ref, h_scr,
         hn_ref[:, :] = h
 
 
-def _bwd_kernel(xp_ref, mask_ref, w_ref, b_ref, hprev_ref, dout_ref,
+def _bwd_kernel(xp_ref, len_ref, w_ref, b_ref, hprev_ref, dout_ref,
                 dhn_ref, dxp_ref, dw_ref, db_ref, dh_scr,
-                *, precision=None):
+                *, precision=None, reverse=False):
     """Reverse-order grid: program s processes step t = T-1-s."""
     s = pl.program_id(0)
+    nt = pl.num_programs(0)
 
     @pl.when(s == 0)
     def _():
@@ -126,7 +128,7 @@ def _bwd_kernel(xp_ref, mask_ref, w_ref, b_ref, hprev_ref, dout_ref,
         db_ref[:, :] = jnp.zeros_like(db_ref)
 
     h_prev = hprev_ref[0]
-    m = mask_ref[0] > 0
+    m = _span_mask(nt - 1 - s, nt, len_ref, reverse) > 0
     hidden = h_prev.shape[-1]
     hp = _mxu_dot(h_prev, w_ref[:, :], precision) + b_ref[:, :]
     r, z, n, hn_pre = _gru_gates(xp_ref[0], hp, hidden)
@@ -141,17 +143,18 @@ def _bwd_kernel(xp_ref, mask_ref, w_ref, b_ref, hprev_ref, dout_ref,
     dh_scr[:] = dh_prev
 
 
-def _fwd_call(xp, mask_f, w_hh, b_hh, interpret, precision):
+def _fwd_call(xp, lengths_f, w_hh, b_hh, interpret, precision, reverse):
     t, b, g = xp.shape
     hidden = w_hh.shape[0]
     b_row = b_hh.reshape(1, g)
     outs, h_n = pl.pallas_call(
-        functools.partial(_fwd_kernel, precision=precision),
+        functools.partial(_fwd_kernel, precision=precision,
+                          reverse=reverse),
         grid=(t,),
         in_specs=[
             pl.BlockSpec((1, b, g), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((b, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, g), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -170,12 +173,12 @@ def _fwd_call(xp, mask_f, w_hh, b_hh, interpret, precision):
         ],
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
         interpret=interpret,
-    )(xp, mask_f, w_hh, b_row)
+    )(xp, lengths_f, w_hh, b_row)
     return outs, h_n
 
 
-def _bwd_call(xp, mask_f, w_hh, b_hh, outs, douts, dh_n, interpret,
-              precision):
+def _bwd_call(xp, lengths_f, w_hh, b_hh, outs, douts, dh_n, interpret,
+              precision, reverse):
     t, b, g = xp.shape
     hidden = w_hh.shape[0]
     b_row = b_hh.reshape(1, g)
@@ -193,11 +196,13 @@ def _bwd_call(xp, mask_f, w_hh, b_hh, outs, douts, dh_n, interpret,
         dout_spec = pl.BlockSpec((1, b, hidden), rev,
                                  memory_space=pltpu.VMEM)
     dxp, dw, db = pl.pallas_call(
-        functools.partial(_bwd_kernel, precision=precision),
+        functools.partial(_bwd_kernel, precision=precision,
+                          reverse=reverse),
         grid=(t,),
         in_specs=[
             pl.BlockSpec((1, b, g), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, 1), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, g), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, g), lambda i: (0, 0),
@@ -221,44 +226,49 @@ def _bwd_call(xp, mask_f, w_hh, b_hh, outs, douts, dh_n, interpret,
         ],
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
         interpret=interpret,
-    )(xp, mask_f, w_hh, b_row, h_prev, douts, dh_n)
+    )(xp, lengths_f, w_hh, b_row, h_prev, douts, dh_n)
     return dxp, dw, db.reshape(-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _gru_layer_cvjp(xp, mask_f, w_hh, b_hh, interpret, precision):
-    outs, h_n = _fwd_call(xp, mask_f, w_hh, b_hh, interpret, precision)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _gru_layer_cvjp(xp, lengths_f, w_hh, b_hh, interpret, precision, reverse):
+    outs, h_n = _fwd_call(xp, lengths_f, w_hh, b_hh, interpret, precision,
+                          reverse)
     return outs, h_n
 
 
-def _gru_layer_fwd(xp, mask_f, w_hh, b_hh, interpret, precision):
-    xp, mask_f, w_hh, b_hh = _vjp.primals(xp, mask_f, w_hh, b_hh)
-    outs, h_n = _fwd_call(xp, mask_f, w_hh, b_hh, interpret, precision)
-    return (outs, h_n), (xp, mask_f, w_hh, b_hh, outs)
+def _gru_layer_fwd(xp, lengths_f, w_hh, b_hh, interpret, precision, reverse):
+    xp, lengths_f, w_hh, b_hh = _vjp.primals(xp, lengths_f, w_hh, b_hh)
+    outs, h_n = _fwd_call(xp, lengths_f, w_hh, b_hh, interpret, precision,
+                          reverse)
+    return (outs, h_n), (xp, lengths_f, w_hh, b_hh, outs)
 
 
-def _gru_layer_bwd(interpret, precision, residuals, grads):
-    xp, mask_f, w_hh, b_hh, outs = residuals
+def _gru_layer_bwd(interpret, precision, reverse, residuals, grads):
+    xp, lengths_f, w_hh, b_hh, outs = residuals
     douts, dh_n = grads
     b, hidden = outs.shape[1], outs.shape[2]
     dxp, dw, db = _bwd_call(
-        xp, mask_f, w_hh, b_hh, outs,
+        xp, lengths_f, w_hh, b_hh, outs,
         None if _vjp.is_sym_zero(douts) else douts,
         _vjp.dense_small(dh_n, (b, hidden), xp.dtype),
-        interpret, precision)
-    return dxp, jnp.zeros_like(mask_f), dw, db
+        interpret, precision, reverse)
+    return dxp, jnp.zeros_like(lengths_f), dw, db
 
 
 _gru_layer_cvjp.defvjp(_gru_layer_fwd, _gru_layer_bwd,
                        symbolic_zeros=True)
 
 
-def gru_layer(xp, mask, w_hh, b_hh, interpret=False, precision=None):
+def gru_layer(xp, lengths, w_hh, b_hh, interpret=False, precision=None,
+              reverse=False):
     """Masked GRU layer over time-major projected inputs.
 
     Args:
       xp: (T, B, 3H) precomputed x @ W_ih + b_ih (gate order r,z,n).
-      mask: (T, B) validity (any dtype; True while t < length).
+      lengths: (B,) valid step counts; the step mask is synthesized
+        in-kernel (ops/_mask_utils.span_mask); reverse=True selects the
+        time-flipped interval [T-len, T).
       w_hh: (H, 3H) recurrent weights.
       b_hh: (3H,) recurrent bias (kept separate: torch GRU's candidate
         gate multiplies the full recurrent pre-activation by r).
@@ -267,8 +277,9 @@ def gru_layer(xp, mask, w_hh, b_hh, interpret=False, precision=None):
     models/rnn.run_rnn_layer (forward direction), differentiable through
     jax.grad (custom VJP, backward also Pallas).
     """
-    return _gru_layer_cvjp(xp, mask.astype(xp.dtype)[..., None], w_hh,
-                           b_hh, interpret, precision)
+    lengths_f = jnp.asarray(lengths, jnp.float32).reshape(-1, 1)
+    return _gru_layer_cvjp(xp, lengths_f, w_hh,
+                           b_hh, interpret, precision, reverse)
 
 
 # ---------------------------------------------------------------------------
@@ -278,7 +289,7 @@ def gru_layer(xp, mask, w_hh, b_hh, interpret=False, precision=None):
 # ---------------------------------------------------------------------------
 
 
-def _fwdf_kernel(xf_ref, xb_ref, mask_ref, wih_ref, bih_ref, whh_ref,
+def _fwdf_kernel(xf_ref, xb_ref, len_ref, wih_ref, bih_ref, whh_ref,
                  bhh_ref, out_ref, hn_ref, h_scr, *, precision=None):
     t = pl.program_id(0)
     nt = pl.num_programs(0)
@@ -295,7 +306,7 @@ def _fwdf_kernel(xf_ref, xb_ref, mask_ref, wih_ref, bih_ref, whh_ref,
         hp = _mxu_dot(h, whh_ref[d], precision) + bhh_ref[d]
         r, z, n, _ = _gru_gates(xp, hp, hidden)
         h2 = (1.0 - z) * n + z * h
-        m = mask_ref[0, d]
+        m = _span_mask(t, nt, len_ref, reverse=d == 1)
         h = jnp.where(m > 0, h2, h)
         h_scr[d] = h
         out_ref[0, d] = h
@@ -305,7 +316,7 @@ def _fwdf_kernel(xf_ref, xb_ref, mask_ref, wih_ref, bih_ref, whh_ref,
             hn_ref[d] = h
 
 
-def _bwdf_kernel(xr_ref, xf_ref, mask_ref, wih_ref, bih_ref, whh_ref,
+def _bwdf_kernel(xr_ref, xf_ref, len_ref, wih_ref, bih_ref, whh_ref,
                  bhh_ref, hprev_ref, dout_ref, dhn_ref,
                  dx0_ref, dx1_ref, dwih_ref, dbih_ref, dwhh_ref,
                  dbhh_ref, dh_scr, *, precision=None):
@@ -328,7 +339,7 @@ def _bwdf_kernel(xr_ref, xf_ref, mask_ref, wih_ref, bih_ref, whh_ref,
         x_t = xr_ref[0] if d == 0 else xf_ref[0]
         zero = jnp.zeros_like(hprev_ref[0, d])
         h_prev = jnp.where(first_step, zero, hprev_ref[0, d])
-        m = mask_ref[0, d] > 0
+        m = _span_mask(nt - 1 - s, nt, len_ref, reverse=d == 1) > 0
         hidden = h_prev.shape[-1]
         xp = _mxu_dot(x_t, wih_ref[d], precision) + bih_ref[d]
         hp = _mxu_dot(h_prev, whh_ref[d], precision) + bhh_ref[d]
@@ -349,7 +360,7 @@ def _bwdf_kernel(xr_ref, xf_ref, mask_ref, wih_ref, bih_ref, whh_ref,
         dh_scr[d] = dh_prev
 
 
-def _fwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh, interpret, precision):
+def _fwdf_call(x, lengths_f, w_ih, b_ih, w_hh, b_hh, interpret, precision):
     t, b, f_dim = x.shape
     hidden = w_hh.shape[1]
     g = w_hh.shape[2]
@@ -367,7 +378,7 @@ def _fwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh, interpret, precision):
         functools.partial(_fwdf_kernel, precision=precision),
         grid=(t,),
         in_specs=[fwd((1, b, f_dim)), bwd((1, b, f_dim)),
-                  fwd((1, 2, b, 1)),
+                  res((b, 1)),
                   res((2, f_dim, g)), res((2, 1, g)),
                   res((2, hidden, g)), res((2, 1, g))],
         out_specs=[fwd((1, 2, b, hidden)), res((2, b, hidden))],
@@ -377,11 +388,11 @@ def _fwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh, interpret, precision):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, x, mask_f, w_ih, bih_row, w_hh, bhh_row)
+    )(x, x, lengths_f, w_ih, bih_row, w_hh, bhh_row)
     return outs, h_n
 
 
-def _bwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh, outs, douts, dh_n,
+def _bwdf_call(x, lengths_f, w_ih, b_ih, w_hh, b_hh, outs, douts, dh_n,
                interpret, precision):
     t, b, f_dim = x.shape
     hidden = w_hh.shape[1]
@@ -413,7 +424,7 @@ def _bwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh, outs, douts, dh_n,
         functools.partial(_bwdf_kernel, precision=precision),
         grid=(t,),
         in_specs=[rev((1, b, f_dim)), fwd((1, b, f_dim)),
-                  rev((1, 2, b, 1)),
+                  res((b, 1)),
                   res((2, f_dim, g)), res((2, 1, g)),
                   res((2, hidden, g)), res((2, 1, g)),
                   shift((1, 2, b, hidden)),
@@ -432,52 +443,53 @@ def _bwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh, outs, douts, dh_n,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, x, mask_f, w_ih, bih_row, w_hh, bhh_row, outs, douts, dh_n)
+    )(x, x, lengths_f, w_ih, bih_row, w_hh, bhh_row, outs, douts, dh_n)
     return (dx0 + dx1, dwih, dbih.reshape(2, -1), dwhh,
             dbhh.reshape(2, -1))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _gru_bidir_fused_cvjp(x, mask_f, w_ih, b_ih, w_hh, b_hh, interpret,
+def _gru_bidir_fused_cvjp(x, lengths_f, w_ih, b_ih, w_hh, b_hh, interpret,
                           precision):
-    outs, h_n = _fwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh, interpret,
+    outs, h_n = _fwdf_call(x, lengths_f, w_ih, b_ih, w_hh, b_hh, interpret,
                            precision)
     return outs, h_n
 
 
-def _gru_bidir_fused_fwd(x, mask_f, w_ih, b_ih, w_hh, b_hh, interpret,
+def _gru_bidir_fused_fwd(x, lengths_f, w_ih, b_ih, w_hh, b_hh, interpret,
                          precision):
-    x, mask_f, w_ih, b_ih, w_hh, b_hh = _vjp.primals(
-        x, mask_f, w_ih, b_ih, w_hh, b_hh)
-    outs, h_n = _fwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh, interpret,
+    x, lengths_f, w_ih, b_ih, w_hh, b_hh = _vjp.primals(
+        x, lengths_f, w_ih, b_ih, w_hh, b_hh)
+    outs, h_n = _fwdf_call(x, lengths_f, w_ih, b_ih, w_hh, b_hh, interpret,
                            precision)
-    return (outs, h_n), (x, mask_f, w_ih, b_ih, w_hh, b_hh, outs)
+    return (outs, h_n), (x, lengths_f, w_ih, b_ih, w_hh, b_hh, outs)
 
 
 def _gru_bidir_fused_bwd(interpret, precision, residuals, grads):
-    x, mask_f, w_ih, b_ih, w_hh, b_hh, outs = residuals
+    x, lengths_f, w_ih, b_ih, w_hh, b_hh, outs = residuals
     douts, dh_n = grads
     b, hidden = outs.shape[2], outs.shape[3]
     dx, dwih, dbih, dwhh, dbhh = _bwdf_call(
-        x, mask_f, w_ih, b_ih, w_hh, b_hh, outs,
+        x, lengths_f, w_ih, b_ih, w_hh, b_hh, outs,
         None if _vjp.is_sym_zero(douts) else douts,
         _vjp.dense_small(dh_n, (2, b, hidden), x.dtype),
         interpret, precision)
-    return dx, jnp.zeros_like(mask_f), dwih, dbih, dwhh, dbhh
+    return dx, jnp.zeros_like(lengths_f), dwih, dbih, dwhh, dbhh
 
 
 _gru_bidir_fused_cvjp.defvjp(_gru_bidir_fused_fwd, _gru_bidir_fused_bwd,
                              symbolic_zeros=True)
 
 
-def gru_layer_bidir_fused(x, mask, w_ih, b_ih, w_hh, b_hh,
+def gru_layer_bidir_fused(x, lengths, w_ih, b_ih, w_hh, b_hh,
                           interpret=False, precision=None):
     """Fully fused bidirectional masked GRU layer over RAW inputs.
 
     Args:
       x: (T, B, F) time-major UNprojected inputs (original time order;
         the kernel's index maps read direction 1 reversed).
-      mask: (T, 2, B, 1) validity, direction 1 time-flipped (same layout
+      lengths: (B,) valid step counts; per-direction step masks are
+        synthesized in-kernel (direction 1 = time-flipped; same layout
         as lstm_layer_bidir_fused).
       w_ih: (2, F, 3H); b_ih: (2, 3H); w_hh: (2, H, 3H); b_hh: (2, 3H).
 
@@ -486,5 +498,6 @@ def gru_layer_bidir_fused(x, mask, w_ih, b_ih, w_hh, b_hh,
     models/rnn.run_rnn_layer_bidir's scan.  Gradients flow to x and all
     four weights (custom VJP, both passes Pallas).
     """
-    return _gru_bidir_fused_cvjp(x, mask.astype(x.dtype), w_ih, b_ih,
+    lengths_f = jnp.asarray(lengths, jnp.float32).reshape(-1, 1)
+    return _gru_bidir_fused_cvjp(x, lengths_f, w_ih, b_ih,
                                  w_hh, b_hh, interpret, precision)

@@ -44,13 +44,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import _vjp_utils as _vjp
+from ._mask_utils import span_mask as _span_mask
 from .mxu import mxu_dot as _mxu_dot
 from .mxu import mxu_dot_nt as _mxu_dot_nt
 from .mxu import mxu_dot_tn as _mxu_dot_tn
 
 
-def _fwd_kernel(xp_ref, mask_ref, w_ref, b_ref, out_ref, cs_ref, hn_ref,
-                cn_ref, h_scr, c_scr, *, precision=None):
+def _fwd_kernel(xp_ref, len_ref, w_ref, b_ref, out_ref, cs_ref, hn_ref,
+                cn_ref, h_scr, c_scr, *, precision=None, reverse=False):
     t = pl.program_id(0)
     nt = pl.num_programs(0)
 
@@ -70,9 +71,9 @@ def _fwd_kernel(xp_ref, mask_ref, w_ref, b_ref, out_ref, cs_ref, hn_ref,
     o = jax.nn.sigmoid(gates[:, 3 * hidden:])
     c2 = f * c + i * g
     h2 = o * jnp.tanh(c2)
-    m = mask_ref[0]
-    h = jnp.where(m, h2, h)
-    c = jnp.where(m, c2, c)
+    m = _span_mask(t, nt, len_ref, reverse)
+    h = jnp.where(m > 0, h2, h)
+    c = jnp.where(m > 0, c2, c)
     h_scr[:] = h
     c_scr[:] = c
     out_ref[0] = h
@@ -84,10 +85,10 @@ def _fwd_kernel(xp_ref, mask_ref, w_ref, b_ref, out_ref, cs_ref, hn_ref,
         cn_ref[:, :] = c
 
 
-def _bwd_kernel(xp_ref, mask_ref, w_ref, b_ref, hprev_ref, cprev_ref,
+def _bwd_kernel(xp_ref, len_ref, w_ref, b_ref, hprev_ref, cprev_ref,
                 c_ref, dout_ref, dhn_ref, dcn_ref,
                 dxp_ref, dw_ref, db_ref,
-                dh_scr, dc_scr, *, precision=None):
+                dh_scr, dc_scr, *, precision=None, reverse=False):
     """Reverse-order grid: program s processes step t = T-1-s."""
     s = pl.program_id(0)
     nt = pl.num_programs(0)
@@ -102,7 +103,7 @@ def _bwd_kernel(xp_ref, mask_ref, w_ref, b_ref, hprev_ref, cprev_ref,
     h_prev = hprev_ref[0]
     c_prev = cprev_ref[0]
     c_new = c_ref[0]
-    m = mask_ref[0]
+    m = _span_mask(nt - 1 - s, nt, len_ref, reverse)
 
     # Recompute the gates of this step.
     gates = (xp_ref[0] + _mxu_dot(h_prev, w_ref[:, :], precision)
@@ -113,14 +114,14 @@ def _bwd_kernel(xp_ref, mask_ref, w_ref, b_ref, hprev_ref, cprev_ref,
     g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
     o = jax.nn.sigmoid(gates[:, 3 * hidden:])
     # c2/h2 as computed pre-mask; where mask=0 the step was the identity.
-    c2 = jnp.where(m, c_new, f * c_prev + i * g)  # c_new == c2 when masked in
+    c2 = jnp.where(m > 0, c_new, f * c_prev + i * g)  # c_new == c2 masked in
     tanh_c2 = jnp.tanh(c2)
 
     dh = dh_scr[:] + dout_ref[0]  # upstream grad of this step's output
     dc = dc_scr[:]
 
-    dh_step = jnp.where(m, dh, 0.0)
-    dc_step = jnp.where(m, dc, 0.0)
+    dh_step = jnp.where(m > 0, dh, 0.0)
+    dc_step = jnp.where(m > 0, dc, 0.0)
 
     do = dh_step * tanh_c2
     dc2 = dc_step + dh_step * o * (1.0 - tanh_c2 * tanh_c2)
@@ -134,30 +135,29 @@ def _bwd_kernel(xp_ref, mask_ref, w_ref, b_ref, hprev_ref, cprev_ref,
     dz = jnp.concatenate([dz_i, dz_f, dz_g, dz_o], axis=-1)
 
     # grads through the identity branch (mask=0): dh/dc pass straight.
-    dh_prev = (jnp.where(m, 0.0, dh)
+    dh_prev = (jnp.where(m > 0, 0.0, dh)
                + _mxu_dot_nt(dz, w_ref[:, :], precision))
-    dc_prev = jnp.where(m, dc2 * f, dc)
+    dc_prev = jnp.where(m > 0, dc2 * f, dc)
 
     dxp_ref[0] = dz
     dw_ref[:, :] += _mxu_dot_tn(h_prev, dz, precision)
     db_ref[:, :] += jnp.sum(dz, axis=0, keepdims=True)
     dh_scr[:] = dh_prev
     dc_scr[:] = dc_prev
-    _ = nt  # (grid size only used implicitly)
 
 
-def _fwd_call(xp, mask, w_hh, b_hh, interpret, precision):
+def _fwd_call(xp, lengths_f, w_hh, b_hh, interpret, precision, reverse):
     t, b, g = xp.shape
     hidden = w_hh.shape[0]
-    mask_f = mask.astype(xp.dtype)
     b_row = b_hh.reshape(1, g)
     outs, cs, h_n, c_n = pl.pallas_call(
-        functools.partial(_fwd_kernel, precision=precision),
+        functools.partial(_fwd_kernel, precision=precision,
+                          reverse=reverse),
         grid=(t,),
         in_specs=[
             pl.BlockSpec((1, b, g), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((b, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, g), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -185,15 +185,14 @@ def _fwd_call(xp, mask, w_hh, b_hh, interpret, precision):
             pltpu.VMEM((b, hidden), jnp.float32),
         ],
         interpret=interpret,
-    )(xp, mask_f[..., None], w_hh, b_row)
+    )(xp, lengths_f, w_hh, b_row)
     return outs, cs, h_n, c_n
 
 
-def _bwd_call(xp, mask, w_hh, b_hh, outs, cs, douts, dh_n, dc_n,
-              interpret, precision):
+def _bwd_call(xp, lengths_f, w_hh, b_hh, outs, cs, douts, dh_n, dc_n,
+              interpret, precision, reverse):
     t, b, g = xp.shape
     hidden = w_hh.shape[0]
-    mask_f = mask.astype(xp.dtype)[..., None]
     b_row = b_hh.reshape(1, g)
     zeros_state = jnp.zeros((1, b, hidden), xp.dtype)
     # h_{t-1}, c_{t-1} streams: shift the saved trajectories by one.
@@ -211,11 +210,13 @@ def _bwd_call(xp, mask, w_hh, b_hh, outs, cs, douts, dh_n, dc_n,
         dout_spec = pl.BlockSpec((1, b, hidden), rev,
                                  memory_space=pltpu.VMEM)
     dxp, dw, db = pl.pallas_call(
-        functools.partial(_bwd_kernel, precision=precision),
+        functools.partial(_bwd_kernel, precision=precision,
+                          reverse=reverse),
         grid=(t,),
         in_specs=[
             pl.BlockSpec((1, b, g), rev, memory_space=pltpu.VMEM),       # xp
-            pl.BlockSpec((1, b, 1), rev, memory_space=pltpu.VMEM),       # mask
+            pl.BlockSpec((b, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),                       # len
             pl.BlockSpec((hidden, g), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),                       # w
             pl.BlockSpec((1, g), lambda i: (0, 0),
@@ -246,56 +247,64 @@ def _bwd_call(xp, mask, w_hh, b_hh, outs, cs, douts, dh_n, dc_n,
             pltpu.VMEM((b, hidden), jnp.float32),
         ],
         interpret=interpret,
-    )(xp, mask_f, w_hh, b_row, h_prev, c_prev, cs, douts, dh_n, dc_n)
+    )(xp, lengths_f, w_hh, b_row, h_prev, c_prev, cs, douts, dh_n, dc_n)
     return dxp, dw, db.reshape(-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _lstm_layer_cvjp(xp, mask_f, w_hh, b_hh, interpret, precision):
-    outs, cs, h_n, c_n = _fwd_call(xp, mask_f, w_hh, b_hh, interpret,
-                                   precision)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _lstm_layer_cvjp(xp, lengths_f, w_hh, b_hh, interpret, precision,
+                     reverse):
+    outs, cs, h_n, c_n = _fwd_call(xp, lengths_f, w_hh, b_hh, interpret,
+                                   precision, reverse)
     return outs, h_n, c_n
 
 
-def _lstm_layer_fwd(xp, mask_f, w_hh, b_hh, interpret, precision):
-    xp, mask_f, w_hh, b_hh = _vjp.primals(xp, mask_f, w_hh, b_hh)
-    outs, cs, h_n, c_n = _fwd_call(xp, mask_f, w_hh, b_hh, interpret,
-                                   precision)
-    return (outs, h_n, c_n), (xp, mask_f, w_hh, b_hh, outs, cs)
+def _lstm_layer_fwd(xp, lengths_f, w_hh, b_hh, interpret, precision,
+                    reverse):
+    xp, lengths_f, w_hh, b_hh = _vjp.primals(xp, lengths_f, w_hh, b_hh)
+    outs, cs, h_n, c_n = _fwd_call(xp, lengths_f, w_hh, b_hh, interpret,
+                                   precision, reverse)
+    return (outs, h_n, c_n), (xp, lengths_f, w_hh, b_hh, outs, cs)
 
 
-def _lstm_layer_bwd(interpret, precision, residuals, grads):
-    xp, mask_f, w_hh, b_hh, outs, cs = residuals
+def _lstm_layer_bwd(interpret, precision, reverse, residuals, grads):
+    xp, lengths_f, w_hh, b_hh, outs, cs = residuals
     douts, dh_n, dc_n = grads
     b, hidden = outs.shape[1], outs.shape[2]
     dxp, dw, db = _bwd_call(
-        xp, mask_f, w_hh, b_hh, outs, cs,
+        xp, lengths_f, w_hh, b_hh, outs, cs,
         None if _vjp.is_sym_zero(douts) else douts,
         _vjp.dense_small(dh_n, (b, hidden), xp.dtype),
         _vjp.dense_small(dc_n, (b, hidden), xp.dtype),
-        interpret, precision)
-    return dxp, jnp.zeros_like(mask_f), dw, db
+        interpret, precision, reverse)
+    return dxp, jnp.zeros_like(lengths_f), dw, db
 
 
 _lstm_layer_cvjp.defvjp(_lstm_layer_fwd, _lstm_layer_bwd,
                         symbolic_zeros=True)
 
 
-def lstm_layer(xp, mask, w_hh, b_hh, interpret=False, precision=None):
+def lstm_layer(xp, lengths, w_hh, b_hh, interpret=False, precision=None,
+               reverse=False):
     """Masked LSTM layer over time-major projected inputs.
 
     Args:
-      xp: (T, B, 4H) precomputed x @ W_ih + b_ih.
-      mask: (T, B) validity (any dtype; True while t < length).
+      xp: (T, B, 4H) precomputed x @ W_ih + b_ih (time-flipped by the
+        caller for the reverse direction).
+      lengths: (B,) valid step counts; the step mask is synthesized
+        in-kernel from a resident (B, 1) float block
+        (ops/_mask_utils.span_mask) — reverse=True selects the
+        time-flipped interval [T-len, T).
       w_hh: (H, 4H) recurrent weights (gate order i,f,g,o).
       b_hh: (4H,) recurrent bias.
 
     Returns (outs (T, B, H), h_n (B, H), c_n (B, H)) — identical to the
-    scan path in models/rnn.run_rnn_layer (forward direction), and
-    differentiable through jax.grad (custom VJP, backward also Pallas).
+    scan path in models/rnn.run_rnn_layer, and differentiable through
+    jax.grad (custom VJP, backward also Pallas).
     """
-    return _lstm_layer_cvjp(xp, mask.astype(xp.dtype), w_hh, b_hh,
-                            interpret, precision)
+    lengths_f = jnp.asarray(lengths, jnp.float32).reshape(-1, 1)
+    return _lstm_layer_cvjp(xp, lengths_f, w_hh, b_hh,
+                            interpret, precision, reverse)
 
 
 # ---------------------------------------------------------------------------
@@ -307,7 +316,7 @@ def lstm_layer(xp, mask, w_hh, b_hh, interpret=False, precision=None):
 # ---------------------------------------------------------------------------
 
 
-def _fwd2_kernel(xp_ref, mask_ref, w_ref, b_ref, out_ref, cs_ref, hn_ref,
+def _fwd2_kernel(xp_ref, len_ref, w_ref, b_ref, out_ref, cs_ref, hn_ref,
                  cn_ref, h_scr, c_scr, *, precision=None):
     t = pl.program_id(0)
     nt = pl.num_programs(0)
@@ -329,7 +338,7 @@ def _fwd2_kernel(xp_ref, mask_ref, w_ref, b_ref, out_ref, cs_ref, hn_ref,
         o = jax.nn.sigmoid(gates[:, 3 * hidden:])
         c2 = f * c + i * g
         h2 = o * jnp.tanh(c2)
-        m = mask_ref[0, d]
+        m = _span_mask(t, nt, len_ref, reverse=d == 1)
         h = jnp.where(m > 0, h2, h)
         c = jnp.where(m > 0, c2, c)
         h_scr[d] = h
@@ -343,11 +352,12 @@ def _fwd2_kernel(xp_ref, mask_ref, w_ref, b_ref, out_ref, cs_ref, hn_ref,
             cn_ref[d] = c
 
 
-def _bwd2_kernel(xp_ref, mask_ref, w_ref, b_ref, hprev_ref, cprev_ref,
+def _bwd2_kernel(xp_ref, len_ref, w_ref, b_ref, hprev_ref, cprev_ref,
                  c_ref, dout_ref, dhn_ref, dcn_ref,
                  dxp_ref, dw_ref, db_ref, dh_scr, dc_scr, *,
                  precision=None):
     s = pl.program_id(0)
+    nt = pl.num_programs(0)
 
     @pl.when(s == 0)
     def _():
@@ -360,7 +370,7 @@ def _bwd2_kernel(xp_ref, mask_ref, w_ref, b_ref, hprev_ref, cprev_ref,
         h_prev = hprev_ref[0, d]
         c_prev = cprev_ref[0, d]
         c_new = c_ref[0, d]
-        m = mask_ref[0, d]
+        m = _span_mask(nt - 1 - s, nt, len_ref, reverse=d == 1)
         gates = (xp_ref[0, d] + _mxu_dot(h_prev, w_ref[d], precision)
                  + b_ref[d])
         hidden = h_prev.shape[-1]
@@ -393,7 +403,7 @@ def _bwd2_kernel(xp_ref, mask_ref, w_ref, b_ref, hprev_ref, cprev_ref,
         dc_scr[d] = dc_prev
 
 
-def _fwd2_call(xp, mask_f, w_hh, b_hh, interpret, precision):
+def _fwd2_call(xp, lengths_f, w_hh, b_hh, interpret, precision):
     t, two, b, g = xp.shape
     hidden = w_hh.shape[1]
     b_row = b_hh.reshape(2, 1, g)
@@ -405,7 +415,7 @@ def _fwd2_call(xp, mask_f, w_hh, b_hh, interpret, precision):
     outs, cs, h_n, c_n = pl.pallas_call(
         functools.partial(_fwd2_kernel, precision=precision),
         grid=(t,),
-        in_specs=[stream((1, 2, b, g)), stream((1, 2, b, 1)),
+        in_specs=[stream((1, 2, b, g)), res2((b, 1)),
                   res2((2, hidden, g)), res2((2, 1, g))],
         out_specs=[stream((1, 2, b, hidden)), stream((1, 2, b, hidden)),
                    res2((2, b, hidden)), res2((2, b, hidden))],
@@ -418,11 +428,11 @@ def _fwd2_call(xp, mask_f, w_hh, b_hh, interpret, precision):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xp, mask_f, w_hh, b_row)
+    )(xp, lengths_f, w_hh, b_row)
     return outs, cs, h_n, c_n
 
 
-def _bwd2_call(xp, mask_f, w_hh, b_hh, outs, cs, douts, dh_n, dc_n,
+def _bwd2_call(xp, lengths_f, w_hh, b_hh, outs, cs, douts, dh_n, dc_n,
                interpret, precision):
     t, two, b, g = xp.shape
     hidden = w_hh.shape[1]
@@ -438,7 +448,7 @@ def _bwd2_call(xp, mask_f, w_hh, b_hh, outs, cs, douts, dh_n, dc_n,
     dxp, dw, db = pl.pallas_call(
         functools.partial(_bwd2_kernel, precision=precision),
         grid=(t,),
-        in_specs=[rev((1, 2, b, g)), rev((1, 2, b, 1)),
+        in_specs=[rev((1, 2, b, g)), res2((b, 1)),
                   res2((2, hidden, g)), res2((2, 1, g)),
                   rev((1, 2, b, hidden)), rev((1, 2, b, hidden)),
                   rev((1, 2, b, hidden)), rev((1, 2, b, hidden)),
@@ -453,49 +463,52 @@ def _bwd2_call(xp, mask_f, w_hh, b_hh, outs, cs, douts, dh_n, dc_n,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xp, mask_f, w_hh, b_row, h_prev, c_prev, cs, douts, dh_n, dc_n)
+    )(xp, lengths_f, w_hh, b_row, h_prev, c_prev, cs, douts, dh_n, dc_n)
     return dxp, dw, db.reshape(2, -1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _lstm_bidir_cvjp(xp, mask_f, w_hh, b_hh, interpret, precision):
-    outs, cs, h_n, c_n = _fwd2_call(xp, mask_f, w_hh, b_hh, interpret,
+def _lstm_bidir_cvjp(xp, lengths_f, w_hh, b_hh, interpret, precision):
+    outs, cs, h_n, c_n = _fwd2_call(xp, lengths_f, w_hh, b_hh, interpret,
                                     precision)
     return outs, h_n, c_n
 
 
-def _lstm_bidir_fwd(xp, mask_f, w_hh, b_hh, interpret, precision):
-    outs, cs, h_n, c_n = _fwd2_call(xp, mask_f, w_hh, b_hh, interpret,
+def _lstm_bidir_fwd(xp, lengths_f, w_hh, b_hh, interpret, precision):
+    outs, cs, h_n, c_n = _fwd2_call(xp, lengths_f, w_hh, b_hh, interpret,
                                     precision)
-    return (outs, h_n, c_n), (xp, mask_f, w_hh, b_hh, outs, cs)
+    return (outs, h_n, c_n), (xp, lengths_f, w_hh, b_hh, outs, cs)
 
 
 def _lstm_bidir_bwd(interpret, precision, residuals, grads):
-    xp, mask_f, w_hh, b_hh, outs, cs = residuals
+    xp, lengths_f, w_hh, b_hh, outs, cs = residuals
     douts, dh_n, dc_n = grads
-    dxp, dw, db = _bwd2_call(xp, mask_f, w_hh, b_hh, outs, cs, douts,
+    dxp, dw, db = _bwd2_call(xp, lengths_f, w_hh, b_hh, outs, cs, douts,
                              dh_n, dc_n, interpret, precision)
-    return dxp, jnp.zeros_like(mask_f), dw, db
+    return dxp, jnp.zeros_like(lengths_f), dw, db
 
 
 _lstm_bidir_cvjp.defvjp(_lstm_bidir_fwd, _lstm_bidir_bwd)
 
 
-def lstm_layer_bidir(xp, mask, w_hh, b_hh, interpret=False,
+def lstm_layer_bidir(xp, lengths, w_hh, b_hh, interpret=False,
                      precision=None):
     """Both directions of a masked LSTM layer in one kernel.
 
     Args:
       xp: (T, 2, B, 4H) projected inputs; direction 1 already
         time-flipped (run_rnn_layer_bidir layout).
-      mask: (T, 2, B, 1) validity (any dtype), direction 1 flipped.
+      lengths: (B,) valid step counts; per-direction step masks are
+        synthesized in-kernel (direction 1 uses the time-flipped
+        interval [T-len, T)).
       w_hh: (2, H, 4H); b_hh: (2, 4H).
 
     Returns (outs (T, 2, B, H) masked per-step carries, h_n (2, B, H),
     c_n (2, B, H)) — identical to the fused scan in
     models/rnn.run_rnn_layer_bidir.
     """
-    return _lstm_bidir_cvjp(xp, mask.astype(xp.dtype), w_hh, b_hh,
+    lengths_f = jnp.asarray(lengths, jnp.float32).reshape(-1, 1)
+    return _lstm_bidir_cvjp(xp, lengths_f, w_hh, b_hh,
                             interpret, precision)
 
 
@@ -519,7 +532,7 @@ def lstm_layer_bidir(xp, mask, w_hh, b_hh, interpret=False,
 # ---------------------------------------------------------------------------
 
 
-def _fwdf_kernel(xf_ref, xb_ref, mask_ref, wih_ref, bih_ref, whh_ref,
+def _fwdf_kernel(xf_ref, xb_ref, len_ref, wih_ref, bih_ref, whh_ref,
                  bhh_ref, out_ref, cs_ref, hn_ref, cn_ref, h_scr, c_scr,
                  *, precision=None):
     t = pl.program_id(0)
@@ -545,7 +558,7 @@ def _fwdf_kernel(xf_ref, xb_ref, mask_ref, wih_ref, bih_ref, whh_ref,
         o = jax.nn.sigmoid(gates[:, 3 * hidden:])
         c2 = f * c + i * g
         h2 = o * jnp.tanh(c2)
-        m = mask_ref[0, d]
+        m = _span_mask(t, nt, len_ref, reverse=d == 1)
         h = jnp.where(m > 0, h2, h)
         c = jnp.where(m > 0, c2, c)
         h_scr[d] = h
@@ -559,7 +572,7 @@ def _fwdf_kernel(xf_ref, xb_ref, mask_ref, wih_ref, bih_ref, whh_ref,
             cn_ref[d] = c
 
 
-def _bwdf_kernel(xr_ref, xf_ref, mask_ref, wih_ref, bih_ref, whh_ref,
+def _bwdf_kernel(xr_ref, xf_ref, len_ref, wih_ref, bih_ref, whh_ref,
                  bhh_ref, hprev_ref, cprev_ref, c_ref, dout_ref,
                  dhn_ref, dcn_ref,
                  dx0_ref, dx1_ref, dwih_ref, dbih_ref, dwhh_ref,
@@ -589,7 +602,7 @@ def _bwdf_kernel(xr_ref, xf_ref, mask_ref, wih_ref, bih_ref, whh_ref,
         h_prev = jnp.where(first_step, zero, hprev_ref[0, d])
         c_prev = jnp.where(first_step, zero, cprev_ref[0, d])
         c_new = c_ref[0, d]
-        m = mask_ref[0, d]
+        m = _span_mask(nt - 1 - s, nt, len_ref, reverse=d == 1)
         gates = (_mxu_dot(x_t, wih_ref[d], precision)
                  + bih_ref[d]
                  + _mxu_dot(h_prev, whh_ref[d], precision)
@@ -630,7 +643,7 @@ def _bwdf_kernel(xr_ref, xf_ref, mask_ref, wih_ref, bih_ref, whh_ref,
         dc_scr[d] = dc_prev
 
 
-def _fwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh, interpret, precision):
+def _fwdf_call(x, lengths_f, w_ih, b_ih, w_hh, b_hh, interpret, precision):
     t, b, f_dim = x.shape
     hidden = w_hh.shape[1]
     g = w_hh.shape[2]
@@ -648,7 +661,7 @@ def _fwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh, interpret, precision):
         functools.partial(_fwdf_kernel, precision=precision),
         grid=(t,),
         in_specs=[fwd((1, b, f_dim)), bwd((1, b, f_dim)),
-                  fwd((1, 2, b, 1)),
+                  res((b, 1)),
                   res((2, f_dim, g)), res((2, 1, g)),
                   res((2, hidden, g)), res((2, 1, g))],
         out_specs=[fwd((1, 2, b, hidden)), fwd((1, 2, b, hidden)),
@@ -662,11 +675,11 @@ def _fwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh, interpret, precision):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, x, mask_f, w_ih, bih_row, w_hh, bhh_row)
+    )(x, x, lengths_f, w_ih, bih_row, w_hh, bhh_row)
     return outs, cs, h_n, c_n
 
 
-def _bwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh, outs, cs, douts, dh_n,
+def _bwdf_call(x, lengths_f, w_ih, b_ih, w_hh, b_hh, outs, cs, douts, dh_n,
                dc_n, interpret, precision):
     t, b, f_dim = x.shape
     hidden = w_hh.shape[1]
@@ -699,7 +712,7 @@ def _bwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh, outs, cs, douts, dh_n,
         functools.partial(_bwdf_kernel, precision=precision),
         grid=(t,),
         in_specs=[rev((1, b, f_dim)), fwd((1, b, f_dim)),
-                  rev((1, 2, b, 1)),
+                  res((b, 1)),
                   res((2, f_dim, g)), res((2, 1, g)),
                   res((2, hidden, g)), res((2, 1, g)),
                   shift((1, 2, b, hidden)), shift((1, 2, b, hidden)),
@@ -719,56 +732,58 @@ def _bwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh, outs, cs, douts, dh_n,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, x, mask_f, w_ih, bih_row, w_hh, bhh_row,
+    )(x, x, lengths_f, w_ih, bih_row, w_hh, bhh_row,
       outs, cs, cs, douts, dh_n, dc_n)
     return (dx0 + dx1, dwih, dbih.reshape(2, -1), dwhh,
             dbhh.reshape(2, -1))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _lstm_bidir_fused_cvjp(x, mask_f, w_ih, b_ih, w_hh, b_hh, interpret,
+def _lstm_bidir_fused_cvjp(x, lengths_f, w_ih, b_ih, w_hh, b_hh, interpret,
                            precision):
-    outs, cs, h_n, c_n = _fwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh,
+    outs, cs, h_n, c_n = _fwdf_call(x, lengths_f, w_ih, b_ih, w_hh, b_hh,
                                     interpret, precision)
     return outs, h_n, c_n
 
 
-def _lstm_bidir_fused_fwd(x, mask_f, w_ih, b_ih, w_hh, b_hh, interpret,
+def _lstm_bidir_fused_fwd(x, lengths_f, w_ih, b_ih, w_hh, b_hh, interpret,
                           precision):
-    x, mask_f, w_ih, b_ih, w_hh, b_hh = _vjp.primals(
-        x, mask_f, w_ih, b_ih, w_hh, b_hh)
-    outs, cs, h_n, c_n = _fwdf_call(x, mask_f, w_ih, b_ih, w_hh, b_hh,
+    x, lengths_f, w_ih, b_ih, w_hh, b_hh = _vjp.primals(
+        x, lengths_f, w_ih, b_ih, w_hh, b_hh)
+    outs, cs, h_n, c_n = _fwdf_call(x, lengths_f, w_ih, b_ih, w_hh, b_hh,
                                     interpret, precision)
-    return (outs, h_n, c_n), (x, mask_f, w_ih, b_ih, w_hh, b_hh, outs,
+    return (outs, h_n, c_n), (x, lengths_f, w_ih, b_ih, w_hh, b_hh, outs,
                               cs)
 
 
 def _lstm_bidir_fused_bwd(interpret, precision, residuals, grads):
-    x, mask_f, w_ih, b_ih, w_hh, b_hh, outs, cs = residuals
+    x, lengths_f, w_ih, b_ih, w_hh, b_hh, outs, cs = residuals
     douts, dh_n, dc_n = grads
     b, hidden = outs.shape[2], outs.shape[3]
     dx, dwih, dbih, dwhh, dbhh = _bwdf_call(
-        x, mask_f, w_ih, b_ih, w_hh, b_hh, outs, cs,
+        x, lengths_f, w_ih, b_ih, w_hh, b_hh, outs, cs,
         None if _vjp.is_sym_zero(douts) else douts,
         _vjp.dense_small(dh_n, (2, b, hidden), x.dtype),
         _vjp.dense_small(dc_n, (2, b, hidden), x.dtype),
         interpret, precision)
-    return dx, jnp.zeros_like(mask_f), dwih, dbih, dwhh, dbhh
+    return dx, jnp.zeros_like(lengths_f), dwih, dbih, dwhh, dbhh
 
 
 _lstm_bidir_fused_cvjp.defvjp(_lstm_bidir_fused_fwd, _lstm_bidir_fused_bwd,
                               symbolic_zeros=True)
 
 
-def lstm_layer_bidir_fused(x, mask, w_ih, b_ih, w_hh, b_hh,
+def lstm_layer_bidir_fused(x, lengths, w_ih, b_ih, w_hh, b_hh,
                            interpret=False, precision=None):
     """Fully fused bidirectional masked LSTM layer over RAW inputs.
 
     Args:
       x: (T, B, F) time-major UNprojected inputs (original time order;
         the kernel's index maps read direction 1 reversed).
-      mask: (T, 2, B, 1) validity, direction 1 time-flipped (same
-        layout as lstm_layer_bidir).
+      lengths: (B,) valid step counts; per-direction step masks are
+        synthesized in-kernel from a resident (B, 1) float block
+        (ops/_mask_utils.span_mask; direction 1 uses the time-flipped
+        interval [T-len, T)).
       w_ih: (2, F, 4H); b_ih: (2, 4H); w_hh: (2, H, 4H); b_hh: (2, 4H).
 
     Returns (outs (T, 2, B, H) — direction 1 in ITS OWN (flipped) time
@@ -776,5 +791,6 @@ def lstm_layer_bidir_fused(x, mask, w_ih, b_ih, w_hh, b_hh,
     models/rnn.run_rnn_layer_bidir's scan.  Gradients flow to x and all
     four weights (custom VJP, both passes Pallas).
     """
-    return _lstm_bidir_fused_cvjp(x, mask.astype(x.dtype), w_ih, b_ih,
+    lengths_f = jnp.asarray(lengths, jnp.float32).reshape(-1, 1)
+    return _lstm_bidir_fused_cvjp(x, lengths_f, w_ih, b_ih,
                                   w_hh, b_hh, interpret, precision)

@@ -35,9 +35,7 @@ def kernel_inputs(cfg, params, h0, c0, mask, key):
     cell = params["rnn_cell"]
     em = params["emission_sampler"]["to_parameters"]
     t = mask.shape[1]
-    mask_t = jnp.swapaxes(mask, 0, 1)[..., None].astype(jnp.float32)
-    prev_mask_t = jnp.concatenate(
-        [jnp.zeros_like(mask_t[:1]), mask_t[:-1]], axis=0)
+    lengths = jnp.sum(mask.astype(jnp.float32), axis=1)
     k_noise, _ = jax.random.split(key)
     noise_t = d.noise(k_noise, (t, B, F), h0.dtype)
     w1 = em["lin1"]["w"]
@@ -45,7 +43,7 @@ def kernel_inputs(cfg, params, h0, c0, mask, key):
     w1_flat = jnp.moveaxis(w1, 0, 1).reshape(h_in, k * m)
     w_cat = jnp.concatenate([cell["w_hh"], w1_flat], axis=1)
     return dict(
-        noise=noise_t, mask=mask_t, prev_mask=prev_mask_t,
+        noise=noise_t, lengths=lengths,
         w_cat=w_cat, bias=cell["b_ih"] + cell["b_hh"],
         b1_flat=em["lin1"]["b"].reshape(-1),
         w2_mean=em["lin2"]["w"][0], w2_logvar=em["lin2"]["w"][1],
@@ -147,9 +145,7 @@ def gru_kernel_inputs(cfg, params, h0, mask, key):
     cell = params["rnn_cell"]
     em = params["emission_sampler"]["to_parameters"]
     t = mask.shape[1]
-    mask_t = jnp.swapaxes(mask, 0, 1)[..., None].astype(jnp.float32)
-    prev_mask_t = jnp.concatenate(
-        [jnp.zeros_like(mask_t[:1]), mask_t[:-1]], axis=0)
+    lengths = jnp.sum(mask.astype(jnp.float32), axis=1)
     k_noise, _ = jax.random.split(key)
     noise_t = d.noise(k_noise, (t, B, F), h0.dtype)
     w1 = em["lin1"]["w"]
@@ -157,7 +153,7 @@ def gru_kernel_inputs(cfg, params, h0, mask, key):
     w1_flat = jnp.moveaxis(w1, 0, 1).reshape(h_in, k * m)
     w_cat = jnp.concatenate([cell["w_hh"], w1_flat], axis=1)
     return dict(
-        noise=noise_t, mask=mask_t, prev_mask=prev_mask_t,
+        noise=noise_t, lengths=lengths,
         w_cat=w_cat, b_ih=cell["b_ih"], b_hh=cell["b_hh"],
         b1_flat=em["lin1"]["b"].reshape(-1),
         w2_mean=em["lin2"]["w"][0], w2_logvar=em["lin2"]["w"][1],
@@ -269,9 +265,7 @@ def rnn_kernel_inputs(cfg, params, h0, mask, key):
     cell = params["rnn_cell"]
     em = params["emission_sampler"]["to_parameters"]
     t = mask.shape[1]
-    mask_t = jnp.swapaxes(mask, 0, 1)[..., None].astype(jnp.float32)
-    prev_mask_t = jnp.concatenate(
-        [jnp.zeros_like(mask_t[:1]), mask_t[:-1]], axis=0)
+    lengths = jnp.sum(mask.astype(jnp.float32), axis=1)
     k_noise, _ = jax.random.split(key)
     noise_t = d.noise(k_noise, (t, B, F), h0.dtype)
     w1 = em["lin1"]["w"]
@@ -279,7 +273,7 @@ def rnn_kernel_inputs(cfg, params, h0, mask, key):
     w1_flat = jnp.moveaxis(w1, 0, 1).reshape(h_in, k * m)
     w_cat = jnp.concatenate([cell["w_hh"], w1_flat], axis=1)
     return dict(
-        noise=noise_t, mask=mask_t, prev_mask=prev_mask_t,
+        noise=noise_t, lengths=lengths,
         w_cat=w_cat, bias=cell["b_ih"] + cell["b_hh"],
         b1_flat=em["lin1"]["b"].reshape(-1),
         w2_mean=em["lin2"]["w"][0], w2_logvar=em["lin2"]["w"][1],

@@ -19,7 +19,7 @@ def make_inputs(rng, t=7, b=4, in_size=5, hidden=8):
     xp = rnn_mod.input_proj(params, x)           # (B, T, H)
     xp_t = jnp.swapaxes(xp, 0, 1)                # (T, B, H)
     mask_t = jnp.swapaxes(mask, 0, 1)            # (T, B)
-    return params, x, mask, xp_t, mask_t
+    return params, x, mask, xp_t, mask_t, lengths
 
 
 def scan_reference(params, x, mask):
@@ -28,9 +28,9 @@ def scan_reference(params, x, mask):
 
 
 def test_forward_parity(rng):
-    params, x, mask, xp_t, mask_t = make_inputs(rng)
+    params, x, mask, xp_t, mask_t, lengths = make_inputs(rng)
     want_outs, want_hn = scan_reference(params, x, mask)
-    outs, h_n = elman_pallas.rnn_layer(xp_t, mask_t, params["w_hh"],
+    outs, h_n = elman_pallas.rnn_layer(xp_t, lengths, params["w_hh"],
                                        params["b_hh"], interpret=True)
     np.testing.assert_allclose(np.asarray(outs), np.asarray(want_outs),
                                rtol=1e-5, atol=1e-6)
@@ -39,12 +39,12 @@ def test_forward_parity(rng):
 
 
 def test_gradient_parity(rng):
-    params, x, mask, xp_t, mask_t = make_inputs(rng)
+    params, x, mask, xp_t, mask_t, lengths = make_inputs(rng)
     key = jax.random.PRNGKey(3)
     w_out = jax.random.normal(key, (8, 3))
 
     def loss_pallas(xp, w_hh, b_hh):
-        outs, h_n = elman_pallas.rnn_layer(xp, mask_t, w_hh, b_hh,
+        outs, h_n = elman_pallas.rnn_layer(xp, lengths, w_hh, b_hh,
                                            interpret=True)
         return jnp.sum(jnp.tanh(outs @ w_out)) + jnp.sum(h_n * h_n)
 
@@ -72,9 +72,9 @@ def test_gradient_parity(rng):
 
 
 def test_zero_length_row(rng):
-    params, x, mask, xp_t, mask_t = make_inputs(rng)
-    mask_t = mask_t.at[:, -1].set(False)  # row 3: fully masked
-    outs, h_n = elman_pallas.rnn_layer(xp_t, mask_t, params["w_hh"],
+    params, x, mask, xp_t, mask_t, lengths = make_inputs(rng)
+    lengths = lengths.at[-1].set(0)  # row 3: fully masked
+    outs, h_n = elman_pallas.rnn_layer(xp_t, lengths, params["w_hh"],
                                        params["b_hh"], interpret=True)
     np.testing.assert_array_equal(np.asarray(outs)[:, -1], 0.0)
     np.testing.assert_array_equal(np.asarray(h_n)[-1], 0.0)
@@ -84,7 +84,7 @@ def test_reverse_direction_via_layer_dispatch(rng, monkeypatch):
     """run_rnn_layer(reverse=True) takes the kernel path for RNN."""
     from seq2seq_abcd_vae_tpu.utils.backend_select import SELECTOR
 
-    params, x, mask, _, _ = make_inputs(rng)
+    params, x, mask, _, _, _ = make_inputs(rng)
     monkeypatch.setenv("SEQ2SEQ_RNN_BACKEND", "scan")
     SELECTOR.reset()
     want_outs, (want_hn, _) = rnn_mod.run_rnn_layer("RNN", params, x, mask,

@@ -23,8 +23,7 @@ def _r(rng, *shape, scale=0.1):
 def _lstm_args(rng):
     return dict(
         noise=_r(rng, T, B, F, scale=1.0),
-        mask=jnp.ones((T, B, 1), jnp.float32),
-        prev_mask=jnp.ones((T, B, 1), jnp.float32),
+        lengths=jnp.full((B,), T, jnp.float32),
         w_cat=_r(rng, H, 4 * H + 2 * M),
         bias=jnp.zeros((4 * H,), jnp.float32),
         b1_flat=jnp.zeros((2 * M,), jnp.float32),
@@ -58,8 +57,8 @@ def test_decoder_loop_bf16_close():
 def test_gru_loop_bf16_close():
     rng = np.random.default_rng(1)
     args = (
-        _r(rng, T, B, F, scale=1.0), jnp.ones((T, B, 1), jnp.float32),
-        jnp.ones((T, B, 1), jnp.float32), _r(rng, H, 3 * H + 2 * M),
+        _r(rng, T, B, F, scale=1.0), jnp.full((B,), T, jnp.float32),
+        _r(rng, H, 3 * H + 2 * M),
         jnp.zeros((3 * H,), jnp.float32), jnp.zeros((3 * H,), jnp.float32),
         jnp.zeros((2 * M,), jnp.float32), _r(rng, M, F), _r(rng, M, F),
         jnp.zeros((2 * F,), jnp.float32), _r(rng, F, 3 * H), _r(rng, B, H),
@@ -72,31 +71,30 @@ def test_gru_loop_bf16_close():
 def test_lstm_layer_bf16_close():
     rng = np.random.default_rng(2)
     xp = _r(rng, T, B, 4 * H)
-    mask = jnp.ones((T, B), bool)
+    lengths = jnp.full((B,), T, jnp.int32)
     w = _r(rng, H, 4 * H)
     b = jnp.zeros((4 * H,), jnp.float32)
-    o32 = lstm_pallas.lstm_layer(xp, mask, w, b, interpret=True,
+    o32 = lstm_pallas.lstm_layer(xp, lengths, w, b, interpret=True,
                                  precision=None)
-    obf = lstm_pallas.lstm_layer(xp, mask, w, b, interpret=True,
+    obf = lstm_pallas.lstm_layer(xp, lengths, w, b, interpret=True,
                                  precision="bf16")
     np.testing.assert_allclose(o32[0], obf[0], atol=2e-2)
     g = jax.grad(lambda w: (lstm_pallas.lstm_layer(
-        xp, mask, w, b, interpret=True, precision="bf16")[0] ** 2).sum())(w)
+        xp, lengths, w, b, interpret=True, precision="bf16")[0] ** 2).sum())(w)
     assert bool(jnp.isfinite(g).all())
 
 
 def test_bidir_fused_bf16_close():
     rng = np.random.default_rng(3)
     x = _r(rng, T, B, F)
-    m = jnp.ones((T, B, 1), jnp.float32)
-    mask = jnp.stack([m, m[::-1]], axis=1)  # (T, 2, B, 1), dir 1 flipped
+    lengths2 = jnp.full((B,), T, jnp.int32)
     wih = _r(rng, 2, F, 4 * H)
     bih = jnp.zeros((2, 4 * H), jnp.float32)
     whh = _r(rng, 2, H, 4 * H)
     bhh = jnp.zeros((2, 4 * H), jnp.float32)
-    o32 = lstm_pallas.lstm_layer_bidir_fused(x, mask, wih, bih, whh, bhh,
+    o32 = lstm_pallas.lstm_layer_bidir_fused(x, lengths2, wih, bih, whh, bhh,
                                              interpret=True, precision=None)
-    obf = lstm_pallas.lstm_layer_bidir_fused(x, mask, wih, bih, whh, bhh,
+    obf = lstm_pallas.lstm_layer_bidir_fused(x, lengths2, wih, bih, whh, bhh,
                                              interpret=True,
                                              precision="bf16")
     np.testing.assert_allclose(o32[0], obf[0], atol=2e-2)
