@@ -50,13 +50,14 @@ def run_cell(rnn_type: str, b: int, t: int, h: int, f: int):
     off = jnp.asarray(off)
     lengths = jnp.asarray(lengths)
 
-    def losses(p, backend):
+    def losses(p, backend, loss_only=False):
         os.environ["SEQ2SEQ_RNN_BACKEND"] = backend
         backend_select.resolve_rnn_backend.cache_clear()
         out = dec.decoder_apply(
             p, cfg, feats, lengths, t, ground_truth_out=gt,
             ground_truth_offset=off, key=jax.random.PRNGKey(7),
-            deterministic=False, emission_mode="sample")
+            deterministic=False, emission_mode="sample",
+            loss_only=loss_only)
         return out.emission_loss + out.offset_loss, out
 
     results = {}
@@ -86,6 +87,26 @@ def run_cell(rnn_type: str, b: int, t: int, h: int, f: int):
         gmax = max(gmax, float(np.max(np.abs(a - bb))) / scale)
     diffs["grad_rel"] = gmax
     ok = diffs["loss"] < 1e-4 and diffs["out"] < 5e-3 and gmax < 2e-3
+
+    if rnn_type == "LSTM":
+        # the fused in-kernel-NLL training path (loss_only=True routes
+        # through decoder_loop_fused_nll): loss + grads vs scan
+        os.environ["SEQ2SEQ_RNN_BACKEND"] = "pallas"
+        backend_select.resolve_rnn_backend.cache_clear()
+        vg = jax.jit(jax.value_and_grad(
+            lambda p: losses(p, "pallas", loss_only=True)[0]))
+        loss_f, grads_f = vg(params)
+        diffs["fused_loss"] = (abs(s["loss"] - float(loss_f))
+                               / (abs(s["loss"]) + 1e-9))
+        flat_f, _ = jax.tree_util.tree_flatten(
+            jax.tree.map(np.asarray, grads_f))
+        fmax = 0.0
+        for (path, a), bb in zip(flat_s, flat_f):
+            scale = float(np.max(np.abs(a))) + 1.0
+            fmax = max(fmax, float(np.max(np.abs(a - bb))) / scale)
+        diffs["fused_grad_rel"] = fmax
+        ok = ok and diffs["fused_loss"] < 1e-4 and fmax < 2e-3
+
     return {"cell": rnn_type, "shape": [b, t, h, f], "pass": bool(ok),
             "max_abs_diffs": {k: round(v, 8) for k, v in diffs.items()}}
 

@@ -349,6 +349,46 @@ def _run_direction(cfg: DecoderConfig, cell_params: dict,
     return rnn_out, em_params, out
 
 
+def _run_direction_fused_nll(cfg: DecoderConfig, cell_params: dict,
+                             emission_params: dict, h0: jax.Array,
+                             c0: jax.Array, step_mask: jax.Array,
+                             key: jax.Array,
+                             ground_truth_out: jax.Array):
+    """Training fast path: the LSTM decoder loop with the Gaussian
+    emission NLL accumulated in-kernel
+    (ops/decoder_pallas.py:decoder_loop_fused_nll) — the (T, B, F)
+    mean/logvar streams, the XLA-side masked log-pdf + adjoint over
+    them, and the .at[-1].set overwrites never materialize.  Noise key
+    flow is identical to _run_direction, so the randomness (and hence
+    the trajectory, up to loss summation order) matches the stream
+    path.
+
+    Returns (outs (T, B, H) pre-mask candidates, nll scalar covering
+    positions 0..T-2); the caller adds position T-1's term from the
+    final carry.
+    """
+    from ..ops import decoder_pallas
+    b, t = step_mask.shape
+    f = cfg.output_size
+    d = dist.choose_distribution(cfg.emission_distr_name)
+    k_noise, _ = jax.random.split(key)
+    noise_t = d.noise(k_noise, (t, b, f), h0.dtype)
+    lengths_row = jnp.sum(step_mask.astype(jnp.float32), axis=1)
+    em = emission_params["to_parameters"]
+    w1 = em["lin1"]["w"]
+    w1_flat = jnp.moveaxis(w1, 0, 1).reshape(w1.shape[1], -1)
+    w_cat2 = jnp.concatenate([cell_params["w_hh"], w1_flat], axis=1)
+    targets = jnp.swapaxes(ground_truth_out, 0, 1)
+    return decoder_pallas.decoder_loop_fused_nll(
+        noise_t, lengths_row, w_cat2,
+        cell_params["b_ih"] + cell_params["b_hh"],
+        em["lin1"]["b"].reshape(-1), em["lin2"]["w"][0],
+        em["lin2"]["w"][1], em["lin2"]["b"].reshape(-1),
+        cell_params["w_ih"], targets, h0, c0,
+        interpret=jax.default_backend() != "tpu",
+        precision=rnn_mod.kernel_precision())
+
+
 def _stack_params(a: dict, b: dict) -> dict:
     return jax.tree_util.tree_map(lambda x, y: jnp.stack([x, y]), a, b)
 
@@ -520,7 +560,8 @@ def decoder_apply(params: dict, cfg: DecoderConfig, features: jax.Array,
                   ground_truth_offset: jax.Array | None = None,
                   key: jax.Array,
                   deterministic: bool = False,
-                  emission_mode: str = "sample") -> DecoderOutput:
+                  emission_mode: str = "sample",
+                  loss_only: bool = False) -> DecoderOutput:
     """Decode a batch of latents.
 
     Args:
@@ -532,6 +573,10 @@ def decoder_apply(params: dict, cfg: DecoderConfig, features: jax.Array,
       ground_truth_offset: (B, T) end-of-sequence flags (enables
         offset_loss).
       emission_mode: 'sample' (default) or 'mean' (sampler2mean analogue).
+      loss_only: caller promises to consume ONLY the losses and
+        offset_weights (vae.forward_losses does) — permits the fused
+        in-kernel NLL fast path, whose DecoderOutput carries out=None /
+        emission_params=() instead of the dead (B, T, F) streams.
     """
     if cfg.has_speaker_embedding:
         emb = params["embed_speaker"][speaker]
@@ -544,6 +589,34 @@ def decoder_apply(params: dict, cfg: DecoderConfig, features: jax.Array,
     if not cfg.bidirectional:
         h0, c0 = _split_hidden(cfg, hidden)
         key_f = jax.random.fold_in(key, 0)
+        if (loss_only and ground_truth_out is not None
+                and cfg.rnn_type == "LSTM" and emission_mode == "sample"
+                and (deterministic or cfg.input_dropout <= 0.0)
+                and cfg.emission_distr_name == "isotropic_gaussian"
+                and rnn_mod.resolved_backend() == "pallas"
+                and params["emission_sampler"]["to_parameters"]
+                          ["lin1"]["w"].shape[0] == 2):
+            outs, nll = _run_direction_fused_nll(
+                cfg, params["rnn_cell"], params["emission_sampler"],
+                h0, c0, mask, key_f, ground_truth_out)
+            rnn_out = jnp.swapaxes(outs, 0, 1).astype(hidden.dtype)
+            offset_logits = mlp_mod.mlp_apply(params["offset_predictor"],
+                                              rnn_out).squeeze(-1)
+            d = dist.choose_distribution(cfg.emission_distr_name)
+            # position T-1's term: the kernel's step-0 emission parks on
+            # that slot, so its loss term comes from the final carry —
+            # the same one-step recompute the stream path's .at[-1].set
+            # overwrite used
+            last = sampler_mod.sampler_apply(params["emission_sampler"],
+                                             outs[-1])
+            emission_loss = nll - d.log_pdf(ground_truth_out[:, -1],
+                                            *last, mask=fmask[:, -1:])
+            offset_loss = None
+            if ground_truth_offset is not None:
+                offset_loss = _bce_with_logits_sum(
+                    offset_logits, ground_truth_offset, fmask)
+            return DecoderOutput(emission_loss, offset_loss, None, (),
+                                 offset_logits)
         rnn_out, em, out = _run_direction(
             cfg, params["rnn_cell"], params["emission_sampler"], h0, c0,
             mask, key_f, deterministic, emission_mode)

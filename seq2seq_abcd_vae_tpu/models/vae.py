@@ -96,7 +96,10 @@ def forward_losses(params: dict, cfg: ModelConfig, *,
         params["decoder"], cfg.decoder, features, lengths, inputs.shape[1],
         speaker=speakers, ground_truth_out=inputs,
         ground_truth_offset=is_offset, key=k_dec,
-        deterministic=deterministic)
+        deterministic=deterministic,
+        # only the loss sums are consumed below — permits the fused
+        # in-kernel NLL fast path (models/decoder.py)
+        loss_only=True)
 
     return {
         "emission_loss": dec_out.emission_loss,

@@ -931,6 +931,341 @@ def rnn_decoder_loop(noise, lengths, w_cat, bias, b1_flat,
         b2_flat.reshape(1, -1), w_ih, h0, interpret, precision)
 
 
+# ---------------------------------------------------------------------------
+# Fused-NLL LSTM variant: the training loss's only consumers of the
+# emission streams are the masked Gaussian log-pdf and its adjoint, so
+# in training the kernel can stream the TARGETS in and accumulate the
+# negative log-likelihood in-kernel instead of streaming mean/logvar out
+# and dmean/dlogvar back in.  Removes per step: 2 stream writes (fwd),
+# 2 stream reads (bwd), the XLA loss forward + adjoint fusions over
+# (T,B,F), and the two .at[-1].set overwrites on the host graph.
+# ---------------------------------------------------------------------------
+
+_LOG_2PI = 1.8378770664093453
+
+
+def _fused_fwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
+                      b1_ref, w2m_ref, w2v_ref, b2_ref, wih_ref,
+                      tgt_ref, h0_ref, c0_ref,
+                      out_ref, hs_ref, cs_ref, nll_ref,
+                      h_scr, c_scr,
+                      *, hidden: int, m: int, precision=None):
+    """Like _fwd_kernel, but instead of emitting mean/logvar streams it
+    reads the position-indexed TARGETS (same slot map: step t covers
+    position t-1; the t=0 read of slot T-1 is dead — pmt masks it) and
+    accumulates  sum_p mask_p * -log N(target_p; mean_p, var_p)  into a
+    scalar.  Position T-1's term is added by the caller from the final
+    carry (the kernel never computes that position's emission)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:, :].astype(jnp.float32)
+        c_scr[:] = c0_ref[:, :].astype(jnp.float32)
+        nll_ref[0, 0] = 0.0
+
+    h = h_scr[:]
+    c = c_scr[:]
+    mt, pmt = _step_masks(t, len_ref)
+    big = _mxu_dot(h, wcat_ref[:, :], precision)
+    hp = big[:, :4 * hidden]
+    emh = jnp.tanh(big[:, 4 * hidden:] + b1_ref[:, :])
+    f_dim = w2m_ref.shape[1]
+    mean = (_mxu_dot(emh[:, :m], w2m_ref[:, :], precision)
+            + b2_ref[:, :f_dim])
+    logvar = (_mxu_dot(emh[:, m:], w2v_ref[:, :], precision)
+              + b2_ref[:, f_dim:])
+    x = mean + jnp.exp(0.5 * logvar) * noise_ref[0]
+    x = x * pmt  # zero first input per row
+
+    diff = tgt_ref[0] - mean
+    nll_t = 0.5 * (_LOG_2PI + logvar + diff * jnp.exp(-logvar) * diff)
+    nll_ref[0, 0] += jnp.sum(nll_t * pmt)
+
+    gates = (hp + _mxu_dot(x, wih_ref[:, :], precision)
+             + bias_ref[:, :])
+    i = jax.nn.sigmoid(gates[:, :hidden])
+    f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+    g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+    o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+    c2 = f * c + i * g
+    h2 = o * jnp.tanh(c2)
+    h = jnp.where(mt > 0, h2, h)
+    c = jnp.where(mt > 0, c2, c)
+    h_scr[:] = h
+    c_scr[:] = c
+    out_ref[0] = h2
+    hs_ref[0] = h
+    cs_ref[0] = c
+
+
+def _fused_bwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
+                      b1_ref, w2m_ref, w2v_ref, b2_ref, wih_ref,
+                      tgt_ref, g_ref,
+                      hprev_ref, cprev_ref, h0_ref, c0_ref, dout_ref,
+                      dwcat_ref, dbias_ref, db1_ref, dw2m_ref, dw2v_ref,
+                      db2_ref, dwih_ref, dh0_ref, dc0_ref,
+                      dh_scr, dc_scr,
+                      *, hidden: int, m: int, precision=None):
+    """Like _bwd_kernel, but the emission cotangents are computed
+    in-kernel from the streamed targets (slot t-1) and the scalar loss
+    cotangent g (SMEM):  d(-ll)/dmean = -g*pmt*diff*exp(-logvar),
+    d(-ll)/dlogvar = g*pmt*0.5*(1 - diff^2*exp(-logvar)).  pmt is zero
+    at t==0, so the parked-slot read needs no special-casing."""
+    s = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    @pl.when(s == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+        dwcat_ref[:, :] = jnp.zeros_like(dwcat_ref)
+        dbias_ref[:, :] = jnp.zeros_like(dbias_ref)
+        db1_ref[:, :] = jnp.zeros_like(db1_ref)
+        dw2m_ref[:, :] = jnp.zeros_like(dw2m_ref)
+        dw2v_ref[:, :] = jnp.zeros_like(dw2v_ref)
+        db2_ref[:, :] = jnp.zeros_like(db2_ref)
+        dwih_ref[:, :] = jnp.zeros_like(dwih_ref)
+
+    first_step = s == nt - 1  # t == 0
+    h_prev = jnp.where(first_step, h0_ref[:, :],
+                       hprev_ref[0]).astype(jnp.float32)
+    c_prev = jnp.where(first_step, c0_ref[:, :],
+                       cprev_ref[0]).astype(jnp.float32)
+    mt, pmt = _step_masks(nt - 1 - s, len_ref)
+    eps = noise_ref[0]
+    f_dim = w2m_ref.shape[1]
+
+    # ---- forward recompute of this step
+    big = _mxu_dot(h_prev, wcat_ref[:, :], precision)
+    hp = big[:, :4 * hidden]
+    emh = jnp.tanh(big[:, 4 * hidden:] + b1_ref[:, :])
+    mean = (_mxu_dot(emh[:, :m], w2m_ref[:, :], precision)
+            + b2_ref[:, :f_dim])
+    logvar = (_mxu_dot(emh[:, m:], w2v_ref[:, :], precision)
+              + b2_ref[:, f_dim:])
+    std = jnp.exp(0.5 * logvar)
+    x = (mean + std * eps) * pmt
+    gates = (hp + _mxu_dot(x, wih_ref[:, :], precision)
+             + bias_ref[:, :])
+    i = jax.nn.sigmoid(gates[:, :hidden])
+    f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+    g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+    o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+    c2 = f * c_prev + i * g
+    tanh_c2 = jnp.tanh(c2)
+
+    # ---- adjoint
+    dh_carry = dh_scr[:]
+    dc_carry = dc_scr[:]
+    dh2 = dout_ref[0] + jnp.where(mt > 0, dh_carry, 0.0)
+
+    do = dh2 * tanh_c2
+    dc2 = (jnp.where(mt > 0, dc_carry, 0.0)
+           + dh2 * o * (1.0 - tanh_c2 * tanh_c2))
+    df = dc2 * c_prev
+    di = dc2 * g
+    dg = dc2 * i
+    dz = jnp.concatenate(
+        [di * i * (1.0 - i), df * f * (1.0 - f), dg * (1.0 - g * g),
+         do * o * (1.0 - o)], axis=-1)
+
+    dx = _mxu_dot_nt(dz, wih_ref[:, :], precision)
+    dwih_ref[:, :] += _mxu_dot_tn(x, dz, precision)
+    dbias_ref[:, :] += jnp.sum(dz, axis=0, keepdims=True)
+
+    dx = dx * pmt
+    # in-kernel emission-loss cotangents (replace the dmean/dlogvar
+    # streams of _bwd_kernel)
+    gscale = g_ref[0, 0]
+    inv_var = jnp.exp(-logvar)
+    diff = tgt_ref[0] - mean
+    gm = gscale * pmt
+    dmean = dx - gm * diff * inv_var
+    dlogvar = (dx * 0.5 * std * eps
+               + gm * 0.5 * (1.0 - diff * inv_var * diff))
+    db2_ref[:, :f_dim] += jnp.sum(dmean, axis=0, keepdims=True)
+    db2_ref[:, f_dim:] += jnp.sum(dlogvar, axis=0, keepdims=True)
+    demh_m = _mxu_dot_nt(dmean, w2m_ref[:, :], precision)
+    demh_v = _mxu_dot_nt(dlogvar, w2v_ref[:, :], precision)
+    dw2m_ref[:, :] += _mxu_dot_tn(emh[:, :m], dmean, precision)
+    dw2v_ref[:, :] += _mxu_dot_tn(emh[:, m:], dlogvar, precision)
+    demh = jnp.concatenate([demh_m, demh_v], axis=-1)
+    dbig_em = demh * (1.0 - emh * emh)
+    db1_ref[:, :] += jnp.sum(dbig_em, axis=0, keepdims=True)
+
+    dbig = jnp.concatenate([dz, dbig_em], axis=-1)
+    dh_prev = (jnp.where(mt > 0, 0.0, dh_carry)
+               + _mxu_dot_nt(dbig, wcat_ref[:, :], precision))
+    dc_prev = jnp.where(mt > 0, 0.0, dc_carry) + dc2 * f
+    dwcat_ref[:, :] += _mxu_dot_tn(h_prev, dbig, precision)
+    dh_scr[:] = dh_prev
+    dc_scr[:] = dc_prev
+
+    @pl.when(s == nt - 1)
+    def _():
+        dh0_ref[:, :] = dh_scr[:]
+        dc0_ref[:, :] = dc_scr[:]
+
+
+def _fused_fwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
+                    targets, h0, c0, interpret, precision):
+    t, b, f = noise.shape
+    hidden = h0.shape[1]
+    g_all = wcat.shape[1]
+    m = (g_all - 4 * hidden) // 2
+    ins, stream3, res = _specs(t, b, f, hidden, m, g_all)
+    pos = lambda shp: pl.BlockSpec(
+        shp, lambda i: (jnp.where(i == 0, t - 1, i - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    nll_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+    outs, hs, cs, nll = pl.pallas_call(
+        functools.partial(_fused_fwd_kernel, hidden=hidden, m=m,
+                          precision=precision),
+        grid=(t,),
+        in_specs=ins + [pos((1, b, f)), res((b, hidden)),
+                        res((b, hidden))],
+        out_specs=[stream3((1, b, hidden)), stream3((1, b, hidden)),
+                   stream3((1, b, hidden)), nll_spec],
+        out_shape=[jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+                   jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+                   jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32),
+                        pltpu.VMEM((b, hidden), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih, targets,
+      h0, c0)
+    return outs, hs, cs, nll
+
+
+def _fused_bwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
+                    targets, h0, c0, hs, cs, douts, gscale, interpret,
+                    precision):
+    t, b, f = noise.shape
+    hidden = h0.shape[1]
+    g_all = wcat.shape[1]
+    m = (g_all - 4 * hidden) // 2
+    ins, stream3, res = _specs(t, b, f, hidden, m, g_all)
+    rev3 = lambda shp: pl.BlockSpec(shp, lambda i: (t - 1 - i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    shift3 = lambda shp: pl.BlockSpec(
+        shp, lambda i: (jnp.maximum(t - 2 - i, 0), 0, 0),
+        memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                          memory_space=pltpu.SMEM)
+    rev_ins = [
+        shift3((1, b, f)),             # noise at t-1 (unshifted input)
+    ] + ins[1:] + [
+        shift3((1, b, f)),             # targets at slot t-1 (pmt-gated)
+        g_spec,                        # scalar nll cotangent
+        shift3((1, b, hidden)),        # hs at t-1 -> h_prev
+        shift3((1, b, hidden)),        # cs at t-1 -> c_prev
+        res((b, hidden)),              # h0
+        res((b, hidden)),              # c0
+        rev3((1, b, hidden)),          # dout
+    ]
+    out_specs = [
+        res((hidden, g_all)), res((1, 4 * hidden)), res((1, 2 * m)),
+        res((m, f)), res((m, f)), res((1, 2 * f)), res((f, 4 * hidden)),
+        res((b, hidden)), res((b, hidden)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(wcat.shape, jnp.float32),
+        jax.ShapeDtypeStruct((1, 4 * hidden), jnp.float32),
+        jax.ShapeDtypeStruct((1, 2 * m), jnp.float32),
+        jax.ShapeDtypeStruct(w2m.shape, jnp.float32),
+        jax.ShapeDtypeStruct(w2v.shape, jnp.float32),
+        jax.ShapeDtypeStruct((1, 2 * f), jnp.float32),
+        jax.ShapeDtypeStruct(wih.shape, jnp.float32),
+        jax.ShapeDtypeStruct((b, hidden), jnp.float32),
+        jax.ShapeDtypeStruct((b, hidden), jnp.float32),
+    ]
+    grads = pl.pallas_call(
+        functools.partial(_fused_bwd_kernel, hidden=hidden, m=m,
+                          precision=precision),
+        grid=(t,),
+        in_specs=rev_ins,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32),
+                        pltpu.VMEM((b, hidden), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
+      targets, gscale, hs, cs, h0, c0, douts)
+    return grads
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13))
+def _fused_loop_cvjp(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
+                     wih, targets, h0, c0, interpret, precision):
+    outs, hs, cs, nll = _fused_fwd_call(
+        noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih, targets,
+        h0, c0, interpret, precision)
+    return outs, nll.reshape(())
+
+
+def _fused_loop_fwd(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
+                    wih, targets, h0, c0, interpret, precision):
+    outs, hs, cs, nll = _fused_fwd_call(
+        noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih, targets,
+        h0, c0, interpret, precision)
+    return (outs, nll.reshape(())), (noise, lengths_f, wcat, bias, b1,
+                                     w2m, w2v, b2, wih, targets, h0, c0,
+                                     hs, cs)
+
+
+def _fused_loop_bwd(interpret, precision, residuals, grads):
+    (noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih, targets, h0,
+     c0, hs, cs) = residuals
+    douts, dnll = grads
+    gscale = jnp.asarray(dnll, jnp.float32).reshape(1, 1)
+    (dwcat, dbias, db1, dw2m, dw2v, db2, dwih, dh0,
+     dc0) = _fused_bwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v,
+                            b2, wih, targets, h0, c0, hs, cs, douts,
+                            gscale, interpret, precision)
+    return (jnp.zeros_like(noise), jnp.zeros_like(lengths_f),
+            dwcat, dbias.reshape(-1), db1.reshape(-1), dw2m, dw2v,
+            db2.reshape(-1), dwih, jnp.zeros_like(targets), dh0, dc0)
+
+
+_fused_loop_cvjp.defvjp(_fused_loop_fwd, _fused_loop_bwd)
+
+
+def decoder_loop_fused_nll(noise, lengths, w_cat, bias, b1_flat,
+                           w2_mean, w2_logvar, b2_flat, w_ih, targets,
+                           h0, c0, interpret: bool = False,
+                           precision=None):
+    """LSTM decoder loop with the Gaussian emission NLL fused in-kernel.
+
+    Training-only fast path: instead of emitting the (T, B, F)
+    mean/logvar streams for an XLA-side masked log-pdf (whose adjoint
+    then streams dmean/dlogvar back into the backward kernel), the
+    kernel reads ``targets`` — the (T, B, F) position-major transpose of
+    the padded ground truth — and accumulates
+
+        nll = sum_{p=0}^{T-2} mask_p * -log N(target_p; mean_p, var_p)
+
+    in an SMEM scalar.  Position T-1's term is NOT included (step 0's
+    emission parks on that slot); the caller adds it from the final
+    carry, exactly like the stream path's .at[-1].set overwrite.  The
+    backward kernel computes the loss cotangents in-register from the
+    same targets and the scalar upstream gradient.
+
+    Returns (outs, nll): outs as in ``decoder_loop``; nll a f32 scalar.
+    """
+    lengths_f = jnp.asarray(lengths, jnp.float32).reshape(-1, 1)
+    return _fused_loop_cvjp(
+        noise, lengths_f, w_cat, bias.reshape(1, -1),
+        b1_flat.reshape(1, -1), w2_mean, w2_logvar, b2_flat.reshape(1, -1),
+        w_ih, targets, h0, c0, interpret, precision)
+
+
 def decoder_loop(noise, lengths, w_cat, bias, b1_flat,
                  w2_mean, w2_logvar, b2_flat, w_ih, h0, c0,
                  interpret: bool = False, precision=None):

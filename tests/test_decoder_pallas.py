@@ -431,3 +431,103 @@ def test_emission_loss_gradients_match_scan():
     for a, b in zip(flat_s, flat_k):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_fused_nll_matches_stream_kernel_and_scan():
+    """loss_only=True routes the LSTM config through the fused in-kernel
+    NLL path (decoder_loop_fused_nll): the emission/offset losses must
+    match both the stream-kernel path and the scan path, and the fused
+    DecoderOutput must carry no dead (B, T, F) streams."""
+    import os
+
+    from seq2seq_abcd_vae_tpu.utils import backend_select
+
+    cfg, params, _, _, _, _ = setup()
+    rng = np.random.default_rng(21)
+    feats = jnp.asarray(rng.normal(size=(B, 4)).astype(np.float32))
+    lengths = jnp.asarray([T, 4, 2])
+    gt = jnp.asarray(rng.normal(size=(B, T, F)).astype(np.float32))
+    off = np.zeros((B, T), np.float32)
+    off[0, T - 1] = 1.0
+    off[1, 3] = 1.0
+    off[2, 1] = 1.0
+    off = jnp.asarray(off)
+
+    def run_with(backend, loss_only):
+        old = os.environ.get("SEQ2SEQ_RNN_BACKEND")
+        os.environ["SEQ2SEQ_RNN_BACKEND"] = backend
+        backend_select.resolve_rnn_backend.cache_clear()
+        try:
+            return dec.decoder_apply(
+                params, cfg, feats, lengths, T, ground_truth_out=gt,
+                ground_truth_offset=off, key=jax.random.PRNGKey(5),
+                deterministic=False, emission_mode="sample",
+                loss_only=loss_only)
+        finally:
+            if old is None:
+                del os.environ["SEQ2SEQ_RNN_BACKEND"]
+            else:
+                os.environ["SEQ2SEQ_RNN_BACKEND"] = old
+            backend_select.resolve_rnn_backend.cache_clear()
+
+    scan_o = run_with("scan", False)
+    stream_o = run_with("pallas", False)
+    fused_o = run_with("pallas", True)
+    # the gate actually engaged: no dead streams materialized
+    assert fused_o.out is None
+    assert fused_o.emission_params == ()
+    for ref in (scan_o, stream_o):
+        np.testing.assert_allclose(float(fused_o.emission_loss),
+                                   float(ref.emission_loss), rtol=1e-4)
+        np.testing.assert_allclose(float(fused_o.offset_loss),
+                                   float(ref.offset_loss), rtol=1e-4)
+    # offset logits ride the same outs stream on all paths
+    np.testing.assert_allclose(np.asarray(fused_o.offset_weights),
+                               np.asarray(stream_o.offset_weights),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_fused_nll_gradients_match_scan():
+    """Parameter gradients through the fused in-kernel NLL (the scalar
+    cotangent enters the backward kernel as SMEM g, the emission-loss
+    cotangents are computed in-register from the streamed targets) must
+    equal the scan path's."""
+    import os
+
+    from seq2seq_abcd_vae_tpu.utils import backend_select
+
+    cfg, params, _, _, _, _ = setup()
+    rng = np.random.default_rng(22)
+    feats = jnp.asarray(rng.normal(size=(B, 4)).astype(np.float32))
+    lengths = jnp.asarray([T, 4, 2])
+    gt = jnp.asarray(rng.normal(size=(B, T, F)).astype(np.float32))
+    off = jnp.zeros((B, T), jnp.float32)
+
+    def loss(p, backend, loss_only):
+        old = os.environ.get("SEQ2SEQ_RNN_BACKEND")
+        os.environ["SEQ2SEQ_RNN_BACKEND"] = backend
+        backend_select.resolve_rnn_backend.cache_clear()
+        try:
+            o = dec.decoder_apply(
+                p, cfg, feats, lengths, T, ground_truth_out=gt,
+                ground_truth_offset=off, key=jax.random.PRNGKey(5),
+                deterministic=False, emission_mode="sample",
+                loss_only=loss_only)
+            # scale the emission term so the SMEM cotangent is a
+            # non-trivial scalar, not 1.0
+            return 0.37 * o.emission_loss + o.offset_loss
+        finally:
+            if old is None:
+                del os.environ["SEQ2SEQ_RNN_BACKEND"]
+            else:
+                os.environ["SEQ2SEQ_RNN_BACKEND"] = old
+            backend_select.resolve_rnn_backend.cache_clear()
+
+    g_scan = jax.grad(lambda p: loss(p, "scan", False))(params)
+    g_fused = jax.grad(lambda p: loss(p, "pallas", True))(params)
+    flat_s, _ = jax.tree_util.tree_flatten(g_scan)
+    flat_f, _ = jax.tree_util.tree_flatten(g_fused)
+    assert len(flat_s) == len(flat_f)
+    for a, b in zip(flat_s, flat_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)
