@@ -39,6 +39,7 @@ samples are recomputed post-scan from the stacked hidden states as large
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -594,6 +595,7 @@ def decoder_apply(params: dict, cfg: DecoderConfig, features: jax.Array,
                 and (deterministic or cfg.input_dropout <= 0.0)
                 and cfg.emission_distr_name == "isotropic_gaussian"
                 and rnn_mod.resolved_backend() == "pallas"
+                and os.environ.get("SEQ2SEQ_NLL_FUSION", "1") != "0"
                 and params["emission_sampler"]["to_parameters"]
                           ["lin1"]["w"].shape[0] == 2):
             outs, nll = _run_direction_fused_nll(
