@@ -390,6 +390,50 @@ def _run_direction_fused_nll(cfg: DecoderConfig, cell_params: dict,
         precision=rnn_mod.kernel_precision())
 
 
+def _run_direction_fused_losses(cfg: DecoderConfig, cell_params: dict,
+                                emission_params: dict,
+                                offset_params: dict, h0: jax.Array,
+                                c0: jax.Array, step_mask: jax.Array,
+                                key: jax.Array,
+                                ground_truth_out: jax.Array):
+    """Training fast path with BOTH losses fused in-kernel
+    (ops/decoder_pallas.py:decoder_loop_fused_losses): emission NLL from
+    streamed targets AND the offset-MLP BCE whose (t == len-1) target is
+    synthesized from row lengths.  Neither the (T, B, F) emission
+    streams nor the (T, B, H) outs stream materialize.  Noise key flow
+    is identical to _run_direction.
+
+    Returns (out_last (B, H) final-step pre-mask h2, nll covering
+    positions 0..T-2, bce covering all positions); the caller adds
+    position T-1's emission term from out_last.
+    """
+    from ..ops import decoder_pallas
+    b, t = step_mask.shape
+    f = cfg.output_size
+    d = dist.choose_distribution(cfg.emission_distr_name)
+    k_noise, _ = jax.random.split(key)
+    noise_t = d.noise(k_noise, (t, b, f), h0.dtype)
+    lengths_row = jnp.sum(step_mask.astype(jnp.float32), axis=1)
+    em = emission_params["to_parameters"]
+    w1 = em["lin1"]["w"]
+    w1_flat = jnp.moveaxis(w1, 0, 1).reshape(w1.shape[1], -1)
+    w_cat2 = jnp.concatenate([cell_params["w_hh"], w1_flat], axis=1)
+    targets = jnp.swapaxes(ground_truth_out, 0, 1)
+    return decoder_pallas.decoder_loop_fused_losses(
+        noise_t, lengths_row, w_cat2,
+        cell_params["b_ih"] + cell_params["b_hh"],
+        em["lin1"]["b"].reshape(-1), em["lin2"]["w"][0],
+        em["lin2"]["w"][1], em["lin2"]["b"].reshape(-1),
+        cell_params["w_ih"], targets,
+        offset_params["lin1"]["w"],
+        offset_params["lin1"]["b"].reshape(1, -1),
+        offset_params["lin2"]["w"].reshape(1, -1),
+        offset_params["lin2"]["b"].reshape(1, 1),
+        h0, c0,
+        interpret=jax.default_backend() != "tpu",
+        precision=rnn_mod.kernel_precision())
+
+
 def _stack_params(a: dict, b: dict) -> dict:
     return jax.tree_util.tree_map(lambda x, y: jnp.stack([x, y]), a, b)
 
@@ -574,10 +618,13 @@ def decoder_apply(params: dict, cfg: DecoderConfig, features: jax.Array,
       ground_truth_offset: (B, T) end-of-sequence flags (enables
         offset_loss).
       emission_mode: 'sample' (default) or 'mean' (sampler2mean analogue).
-      loss_only: caller promises to consume ONLY the losses and
-        offset_weights (vae.forward_losses does) — permits the fused
-        in-kernel NLL fast path, whose DecoderOutput carries out=None /
-        emission_params=() instead of the dead (B, T, F) streams.
+      loss_only: caller promises (a) to consume ONLY the loss scalars
+        (vae.forward_losses does) and (b) that any ground_truth_offset
+        equals the training contract (t == lengths-1), as
+        train/learner.py derives it.  Permits the fused in-kernel loss
+        fast paths (ops/decoder_pallas.py), whose DecoderOutput carries
+        out=None / emission_params=() — and, with offsets fused,
+        offset_weights=None — instead of the dead (B, T, *) streams.
     """
     if cfg.has_speaker_embedding:
         emb = params["embed_speaker"][speaker]
@@ -598,13 +645,28 @@ def decoder_apply(params: dict, cfg: DecoderConfig, features: jax.Array,
                 and os.environ.get("SEQ2SEQ_NLL_FUSION", "1") != "0"
                 and params["emission_sampler"]["to_parameters"]
                           ["lin1"]["w"].shape[0] == 2):
+            d = dist.choose_distribution(cfg.emission_distr_name)
+            if ground_truth_offset is not None:
+                # full fusion: emission NLL + offset BCE in-kernel; the
+                # (t == len-1) offset target is part of the loss_only
+                # contract (train/learner.py derives is_offset exactly
+                # so)
+                out_last, nll, bce = _run_direction_fused_losses(
+                    cfg, params["rnn_cell"], params["emission_sampler"],
+                    params["offset_predictor"], h0, c0, mask, key_f,
+                    ground_truth_out)
+                last = sampler_mod.sampler_apply(
+                    params["emission_sampler"], out_last)
+                emission_loss = nll - d.log_pdf(ground_truth_out[:, -1],
+                                                *last,
+                                                mask=fmask[:, -1:])
+                return DecoderOutput(emission_loss, bce, None, (), None)
             outs, nll = _run_direction_fused_nll(
                 cfg, params["rnn_cell"], params["emission_sampler"],
                 h0, c0, mask, key_f, ground_truth_out)
             rnn_out = jnp.swapaxes(outs, 0, 1).astype(hidden.dtype)
             offset_logits = mlp_mod.mlp_apply(params["offset_predictor"],
                                               rnn_out).squeeze(-1)
-            d = dist.choose_distribution(cfg.emission_distr_name)
             # position T-1's term: the kernel's step-0 emission parks on
             # that slot, so its loss term comes from the final carry —
             # the same one-step recompute the stream path's .at[-1].set
@@ -613,11 +675,7 @@ def decoder_apply(params: dict, cfg: DecoderConfig, features: jax.Array,
                                              outs[-1])
             emission_loss = nll - d.log_pdf(ground_truth_out[:, -1],
                                             *last, mask=fmask[:, -1:])
-            offset_loss = None
-            if ground_truth_offset is not None:
-                offset_loss = _bce_with_logits_sum(
-                    offset_logits, ground_truth_offset, fmask)
-            return DecoderOutput(emission_loss, offset_loss, None, (),
+            return DecoderOutput(emission_loss, None, None, (),
                                  offset_logits)
         rnn_out, em, out = _run_direction(
             cfg, params["rnn_cell"], params["emission_sampler"], h0, c0,

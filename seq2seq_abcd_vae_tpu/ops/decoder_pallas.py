@@ -932,37 +932,61 @@ def rnn_decoder_loop(noise, lengths, w_cat, bias, b1_flat,
 
 
 # ---------------------------------------------------------------------------
-# Fused-NLL LSTM variant: the training loss's only consumers of the
+# Fused-loss LSTM variants: the training loss's only consumers of the
 # emission streams are the masked Gaussian log-pdf and its adjoint, so
 # in training the kernel can stream the TARGETS in and accumulate the
 # negative log-likelihood in-kernel instead of streaming mean/logvar out
 # and dmean/dlogvar back in.  Removes per step: 2 stream writes (fwd),
 # 2 stream reads (bwd), the XLA loss forward + adjoint fusions over
 # (T,B,F), and the two .at[-1].set overwrites on the host graph.
+#
+# with_offset=True additionally fuses the offset-predictor MLP and its
+# masked BCE: the training offset target is exactly (t == len-1)
+# (train/learner.py derives it from lengths on device), so the kernel
+# synthesizes it in-register like the step masks — no target stream.
+# The (T, B, H) outs stream then has NO consumer (offset logits were its
+# only one) and collapses to a single resident last-step block, from
+# which the caller recomputes position T-1's emission term.
 # ---------------------------------------------------------------------------
 
 _LOG_2PI = 1.8378770664093453
 
 
-def _fused_fwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
-                      b1_ref, w2m_ref, w2v_ref, b2_ref, wih_ref,
-                      tgt_ref, h0_ref, c0_ref,
-                      out_ref, hs_ref, cs_ref, nll_ref,
-                      h_scr, c_scr,
-                      *, hidden: int, m: int, precision=None):
+def _offset_target(t, len_ref, mt):
+    """The training offset target y_t = 1 iff t == len-1, synthesized
+    from the resident row-lengths block (mt = 1 iff t < len)."""
+    tf = t.astype(jnp.float32)
+    return mt - jnp.clip(len_ref[:, :] - tf - 1.0, 0.0, 1.0)
+
+
+def _fused_fwd_kernel(*refs, hidden: int, m: int, with_offset: bool,
+                      precision=None):
     """Like _fwd_kernel, but instead of emitting mean/logvar streams it
     reads the position-indexed TARGETS (same slot map: step t covers
     position t-1; the t=0 read of slot T-1 is dead — pmt masks it) and
-    accumulates  sum_p mask_p * -log N(target_p; mean_p, var_p)  into a
-    scalar.  Position T-1's term is added by the caller from the final
-    carry (the kernel never computes that position's emission)."""
+    accumulates  sum_p mask_p * -log N(target_p; mean_p, var_p)  into an
+    SMEM scalar.  Position T-1's term is added by the caller from the
+    resident last-step block (the kernel never computes that position's
+    emission).  with_offset additionally runs the offset MLP on h2 and
+    accumulates the masked BCE into a second SMEM scalar."""
+    if with_offset:
+        (noise_ref, len_ref, wcat_ref, bias_ref, b1_ref, w2m_ref,
+         w2v_ref, b2_ref, wih_ref, tgt_ref, wo1_ref, bo1_ref, wo2_ref,
+         bo2_ref, h0_ref, c0_ref,
+         out_ref, hs_ref, cs_ref, sc_ref, h_scr, c_scr) = refs
+    else:
+        (noise_ref, len_ref, wcat_ref, bias_ref, b1_ref, w2m_ref,
+         w2v_ref, b2_ref, wih_ref, tgt_ref, h0_ref, c0_ref,
+         out_ref, hs_ref, cs_ref, sc_ref, h_scr, c_scr) = refs
     t = pl.program_id(0)
 
     @pl.when(t == 0)
     def _():
         h_scr[:] = h0_ref[:, :].astype(jnp.float32)
         c_scr[:] = c0_ref[:, :].astype(jnp.float32)
-        nll_ref[0, 0] = 0.0
+        sc_ref[0, 0] = 0.0
+        if with_offset:
+            sc_ref[0, 1] = 0.0
 
     h = h_scr[:]
     c = c_scr[:]
@@ -980,7 +1004,7 @@ def _fused_fwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
 
     diff = tgt_ref[0] - mean
     nll_t = 0.5 * (_LOG_2PI + logvar + diff * jnp.exp(-logvar) * diff)
-    nll_ref[0, 0] += jnp.sum(nll_t * pmt)
+    sc_ref[0, 0] += jnp.sum(nll_t * pmt)
 
     gates = (hp + _mxu_dot(x, wih_ref[:, :], precision)
              + bias_ref[:, :])
@@ -990,6 +1014,17 @@ def _fused_fwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
     o = jax.nn.sigmoid(gates[:, 3 * hidden:])
     c2 = f * c + i * g
     h2 = o * jnp.tanh(c2)
+
+    if with_offset:
+        oh = jnp.tanh(_mxu_dot(h2, wo1_ref[:, :], precision)
+                      + bo1_ref[:, :])
+        z = (jnp.sum(oh * wo2_ref[:, :], axis=1, keepdims=True)
+             + bo2_ref[0, 0])
+        y = _offset_target(t, len_ref, mt)
+        bce = (jnp.maximum(z, 0.0) - z * y
+               + jnp.log1p(jnp.exp(-jnp.abs(z))))
+        sc_ref[0, 1] += jnp.sum(bce * mt)
+
     h = jnp.where(mt > 0, h2, h)
     c = jnp.where(mt > 0, c2, c)
     h_scr[:] = h
@@ -999,19 +1034,30 @@ def _fused_fwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
     cs_ref[0] = c
 
 
-def _fused_bwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
-                      b1_ref, w2m_ref, w2v_ref, b2_ref, wih_ref,
-                      tgt_ref, g_ref,
-                      hprev_ref, cprev_ref, h0_ref, c0_ref, dout_ref,
-                      dwcat_ref, dbias_ref, db1_ref, dw2m_ref, dw2v_ref,
-                      db2_ref, dwih_ref, dh0_ref, dc0_ref,
-                      dh_scr, dc_scr,
-                      *, hidden: int, m: int, precision=None):
+def _fused_bwd_kernel(*refs, hidden: int, m: int, with_offset: bool,
+                      precision=None):
     """Like _bwd_kernel, but the emission cotangents are computed
     in-kernel from the streamed targets (slot t-1) and the scalar loss
     cotangent g (SMEM):  d(-ll)/dmean = -g*pmt*diff*exp(-logvar),
     d(-ll)/dlogvar = g*pmt*0.5*(1 - diff^2*exp(-logvar)).  pmt is zero
-    at t==0, so the parked-slot read needs no special-casing."""
+    at t==0, so the parked-slot read needs no special-casing.
+    with_offset replaces the douts stream with a resident last-step
+    cotangent (applied at s == 0 only) and recomputes the offset MLP on
+    h2 to derive its BCE cotangents in-register."""
+    if with_offset:
+        (noise_ref, len_ref, wcat_ref, bias_ref, b1_ref, w2m_ref,
+         w2v_ref, b2_ref, wih_ref, tgt_ref, wo1_ref, bo1_ref, wo2_ref,
+         bo2_ref, g_ref, hprev_ref, cprev_ref, h0_ref, c0_ref,
+         dlast_ref,
+         dwcat_ref, dbias_ref, db1_ref, dw2m_ref, dw2v_ref, db2_ref,
+         dwih_ref, dwo1_ref, dbo1_ref, dwo2_ref, dbo2_ref,
+         dh0_ref, dc0_ref, dh_scr, dc_scr) = refs
+    else:
+        (noise_ref, len_ref, wcat_ref, bias_ref, b1_ref, w2m_ref,
+         w2v_ref, b2_ref, wih_ref, tgt_ref, g_ref,
+         hprev_ref, cprev_ref, h0_ref, c0_ref, dout_ref,
+         dwcat_ref, dbias_ref, db1_ref, dw2m_ref, dw2v_ref, db2_ref,
+         dwih_ref, dh0_ref, dc0_ref, dh_scr, dc_scr) = refs
     s = pl.program_id(0)
     nt = pl.num_programs(0)
 
@@ -1026,13 +1072,19 @@ def _fused_bwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
         dw2v_ref[:, :] = jnp.zeros_like(dw2v_ref)
         db2_ref[:, :] = jnp.zeros_like(db2_ref)
         dwih_ref[:, :] = jnp.zeros_like(dwih_ref)
+        if with_offset:
+            dwo1_ref[:, :] = jnp.zeros_like(dwo1_ref)
+            dbo1_ref[:, :] = jnp.zeros_like(dbo1_ref)
+            dwo2_ref[:, :] = jnp.zeros_like(dwo2_ref)
+            dbo2_ref[0, 0] = 0.0
 
     first_step = s == nt - 1  # t == 0
     h_prev = jnp.where(first_step, h0_ref[:, :],
                        hprev_ref[0]).astype(jnp.float32)
     c_prev = jnp.where(first_step, c0_ref[:, :],
                        cprev_ref[0]).astype(jnp.float32)
-    mt, pmt = _step_masks(nt - 1 - s, len_ref)
+    t_now = nt - 1 - s
+    mt, pmt = _step_masks(t_now, len_ref)
     eps = noise_ref[0]
     f_dim = w2m_ref.shape[1]
 
@@ -1058,7 +1110,25 @@ def _fused_bwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
     # ---- adjoint
     dh_carry = dh_scr[:]
     dc_carry = dc_scr[:]
-    dh2 = dout_ref[0] + jnp.where(mt > 0, dh_carry, 0.0)
+    if with_offset:
+        # offset-MLP recompute on h2 + in-register BCE adjoint
+        h2 = o * tanh_c2
+        oh = jnp.tanh(_mxu_dot(h2, wo1_ref[:, :], precision)
+                      + bo1_ref[:, :])
+        z = (jnp.sum(oh * wo2_ref[:, :], axis=1, keepdims=True)
+             + bo2_ref[0, 0])
+        y = _offset_target(t_now, len_ref, mt)
+        dz = g_ref[0, 1] * mt * (jax.nn.sigmoid(z) - y)
+        doh = (dz * wo2_ref[:, :]) * (1.0 - oh * oh)
+        dwo1_ref[:, :] += _mxu_dot_tn(h2, doh, precision)
+        dbo1_ref[:, :] += jnp.sum(doh, axis=0, keepdims=True)
+        dwo2_ref[:, :] += jnp.sum(oh * dz, axis=0, keepdims=True)
+        dbo2_ref[0, 0] += jnp.sum(dz)
+        dh2 = (_mxu_dot_nt(doh, wo1_ref[:, :], precision)
+               + jnp.where(s == 0, dlast_ref[:, :], 0.0)
+               + jnp.where(mt > 0, dh_carry, 0.0))
+    else:
+        dh2 = dout_ref[0] + jnp.where(mt > 0, dh_carry, 0.0)
 
     do = dh2 * tanh_c2
     dc2 = (jnp.where(mt > 0, dc_carry, 0.0)
@@ -1109,69 +1179,103 @@ def _fused_bwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
 
 
 def _fused_fwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
-                    targets, h0, c0, interpret, precision):
-    t, b, f = noise.shape
-    hidden = h0.shape[1]
-    g_all = wcat.shape[1]
-    m = (g_all - 4 * hidden) // 2
-    ins, stream3, res = _specs(t, b, f, hidden, m, g_all)
-    pos = lambda shp: pl.BlockSpec(
-        shp, lambda i: (jnp.where(i == 0, t - 1, i - 1), 0, 0),
-        memory_space=pltpu.VMEM)
-    nll_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
-                            memory_space=pltpu.SMEM)
-    outs, hs, cs, nll = pl.pallas_call(
-        functools.partial(_fused_fwd_kernel, hidden=hidden, m=m,
-                          precision=precision),
-        grid=(t,),
-        in_specs=ins + [pos((1, b, f)), res((b, hidden)),
-                        res((b, hidden))],
-        out_specs=[stream3((1, b, hidden)), stream3((1, b, hidden)),
-                   stream3((1, b, hidden)), nll_spec],
-        out_shape=[jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
-                   jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
-                   jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
-                   jax.ShapeDtypeStruct((1, 1), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32),
-                        pltpu.VMEM((b, hidden), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih, targets,
-      h0, c0)
-    return outs, hs, cs, nll
-
-
-def _fused_bwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
-                    targets, h0, c0, hs, cs, douts, gscale, interpret,
+                    targets, offset_params, h0, c0, interpret,
                     precision):
     t, b, f = noise.shape
     hidden = h0.shape[1]
     g_all = wcat.shape[1]
     m = (g_all - 4 * hidden) // 2
+    with_offset = offset_params is not None
+    ins, stream3, res = _specs(t, b, f, hidden, m, g_all)
+    pos = lambda shp: pl.BlockSpec(
+        shp, lambda i: (jnp.where(i == 0, t - 1, i - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    smem = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                    memory_space=pltpu.SMEM)
+    n_sc = 2 if with_offset else 1
+    in_specs = ins + [pos((1, b, f))]
+    operands = [noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
+                targets]
+    if with_offset:
+        wo1, bo1, wo2, bo2 = offset_params
+        mo = wo1.shape[1]
+        in_specs += [res((hidden, mo)), res((1, mo)), res((1, mo)),
+                     smem((1, 1))]
+        operands += [wo1, bo1, wo2, bo2]
+        # outs collapses to a resident last-step block (every grid step
+        # overwrites it; the final write is step T-1's pre-mask h2)
+        out0 = res((1, b, hidden))
+        out0_shape = jax.ShapeDtypeStruct((1, b, hidden), jnp.float32)
+    else:
+        out0 = stream3((1, b, hidden))
+        out0_shape = jax.ShapeDtypeStruct((t, b, hidden), jnp.float32)
+    in_specs += [res((b, hidden)), res((b, hidden))]
+    operands += [h0, c0]
+    outs, hs, cs, sc = pl.pallas_call(
+        functools.partial(_fused_fwd_kernel, hidden=hidden, m=m,
+                          with_offset=with_offset, precision=precision),
+        grid=(t,),
+        in_specs=in_specs,
+        out_specs=[out0, stream3((1, b, hidden)),
+                   stream3((1, b, hidden)), smem((1, n_sc))],
+        out_shape=[out0_shape,
+                   jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+                   jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n_sc), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32),
+                        pltpu.VMEM((b, hidden), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+    return outs, hs, cs, sc
+
+
+def _fused_bwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
+                    targets, offset_params, h0, c0, hs, cs, douts,
+                    gscale, interpret, precision):
+    """douts: the reversed (T,B,H) outs cotangent stream, or — with
+    offset fusion — the resident (B,H) last-step cotangent.  gscale:
+    (1,1) nll cotangent, or (1,2) [nll, bce] cotangents."""
+    t, b, f = noise.shape
+    hidden = h0.shape[1]
+    g_all = wcat.shape[1]
+    m = (g_all - 4 * hidden) // 2
+    with_offset = offset_params is not None
     ins, stream3, res = _specs(t, b, f, hidden, m, g_all)
     rev3 = lambda shp: pl.BlockSpec(shp, lambda i: (t - 1 - i, 0, 0),
                                     memory_space=pltpu.VMEM)
     shift3 = lambda shp: pl.BlockSpec(
         shp, lambda i: (jnp.maximum(t - 2 - i, 0), 0, 0),
         memory_space=pltpu.VMEM)
-    g_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
-                          memory_space=pltpu.SMEM)
+    smem = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                    memory_space=pltpu.SMEM)
     rev_ins = [
         shift3((1, b, f)),             # noise at t-1 (unshifted input)
     ] + ins[1:] + [
         shift3((1, b, f)),             # targets at slot t-1 (pmt-gated)
-        g_spec,                        # scalar nll cotangent
+    ]
+    operands = [noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
+                targets]
+    if with_offset:
+        wo1, bo1, wo2, bo2 = offset_params
+        mo = wo1.shape[1]
+        rev_ins += [res((hidden, mo)), res((1, mo)), res((1, mo)),
+                    smem((1, 1))]
+        operands += [wo1, bo1, wo2, bo2]
+    rev_ins += [
+        smem((1, 2 if with_offset else 1)),  # loss cotangent scalars
         shift3((1, b, hidden)),        # hs at t-1 -> h_prev
         shift3((1, b, hidden)),        # cs at t-1 -> c_prev
         res((b, hidden)),              # h0
         res((b, hidden)),              # c0
-        rev3((1, b, hidden)),          # dout
+        res((b, hidden)) if with_offset
+        else rev3((1, b, hidden)),     # dlast / dout stream
     ]
+    operands += [gscale, hs, cs, h0, c0, douts]
     out_specs = [
         res((hidden, g_all)), res((1, 4 * hidden)), res((1, 2 * m)),
         res((m, f)), res((m, f)), res((1, 2 * f)), res((f, 4 * hidden)),
-        res((b, hidden)), res((b, hidden)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct(wcat.shape, jnp.float32),
@@ -1181,12 +1285,21 @@ def _fused_bwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
         jax.ShapeDtypeStruct(w2v.shape, jnp.float32),
         jax.ShapeDtypeStruct((1, 2 * f), jnp.float32),
         jax.ShapeDtypeStruct(wih.shape, jnp.float32),
-        jax.ShapeDtypeStruct((b, hidden), jnp.float32),
-        jax.ShapeDtypeStruct((b, hidden), jnp.float32),
     ]
+    if with_offset:
+        mo = offset_params[0].shape[1]
+        out_specs += [res((hidden, mo)), res((1, mo)), res((1, mo)),
+                      smem((1, 1))]
+        out_shape += [jax.ShapeDtypeStruct((hidden, mo), jnp.float32),
+                      jax.ShapeDtypeStruct((1, mo), jnp.float32),
+                      jax.ShapeDtypeStruct((1, mo), jnp.float32),
+                      jax.ShapeDtypeStruct((1, 1), jnp.float32)]
+    out_specs += [res((b, hidden)), res((b, hidden))]
+    out_shape += [jax.ShapeDtypeStruct((b, hidden), jnp.float32),
+                  jax.ShapeDtypeStruct((b, hidden), jnp.float32)]
     grads = pl.pallas_call(
         functools.partial(_fused_bwd_kernel, hidden=hidden, m=m,
-                          precision=precision),
+                          with_offset=with_offset, precision=precision),
         grid=(t,),
         in_specs=rev_ins,
         out_specs=out_specs,
@@ -1196,28 +1309,27 @@ def _fused_bwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
-      targets, gscale, hs, cs, h0, c0, douts)
+    )(*operands)
     return grads
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13))
 def _fused_loop_cvjp(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
                      wih, targets, h0, c0, interpret, precision):
-    outs, hs, cs, nll = _fused_fwd_call(
+    outs, hs, cs, sc = _fused_fwd_call(
         noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih, targets,
-        h0, c0, interpret, precision)
-    return outs, nll.reshape(())
+        None, h0, c0, interpret, precision)
+    return outs, sc.reshape(())
 
 
 def _fused_loop_fwd(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
                     wih, targets, h0, c0, interpret, precision):
-    outs, hs, cs, nll = _fused_fwd_call(
+    outs, hs, cs, sc = _fused_fwd_call(
         noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih, targets,
-        h0, c0, interpret, precision)
-    return (outs, nll.reshape(())), (noise, lengths_f, wcat, bias, b1,
-                                     w2m, w2v, b2, wih, targets, h0, c0,
-                                     hs, cs)
+        None, h0, c0, interpret, precision)
+    return (outs, sc.reshape(())), (noise, lengths_f, wcat, bias, b1,
+                                    w2m, w2v, b2, wih, targets, h0, c0,
+                                    hs, cs)
 
 
 def _fused_loop_bwd(interpret, precision, residuals, grads):
@@ -1227,14 +1339,55 @@ def _fused_loop_bwd(interpret, precision, residuals, grads):
     gscale = jnp.asarray(dnll, jnp.float32).reshape(1, 1)
     (dwcat, dbias, db1, dw2m, dw2v, db2, dwih, dh0,
      dc0) = _fused_bwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v,
-                            b2, wih, targets, h0, c0, hs, cs, douts,
-                            gscale, interpret, precision)
+                            b2, wih, targets, None, h0, c0, hs, cs,
+                            douts, gscale, interpret, precision)
     return (jnp.zeros_like(noise), jnp.zeros_like(lengths_f),
             dwcat, dbias.reshape(-1), db1.reshape(-1), dw2m, dw2v,
             db2.reshape(-1), dwih, jnp.zeros_like(targets), dh0, dc0)
 
 
 _fused_loop_cvjp.defvjp(_fused_loop_fwd, _fused_loop_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(16, 17))
+def _floss_loop_cvjp(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
+                     wih, targets, wo1, bo1, wo2, bo2, h0, c0,
+                     interpret, precision):
+    out_last, hs, cs, sc = _fused_fwd_call(
+        noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih, targets,
+        (wo1, bo1, wo2, bo2), h0, c0, interpret, precision)
+    return out_last[0], sc[0, 0], sc[0, 1]
+
+
+def _floss_loop_fwd(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
+                    wih, targets, wo1, bo1, wo2, bo2, h0, c0,
+                    interpret, precision):
+    out_last, hs, cs, sc = _fused_fwd_call(
+        noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih, targets,
+        (wo1, bo1, wo2, bo2), h0, c0, interpret, precision)
+    return ((out_last[0], sc[0, 0], sc[0, 1]),
+            (noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
+             targets, wo1, bo1, wo2, bo2, h0, c0, hs, cs))
+
+
+def _floss_loop_bwd(interpret, precision, residuals, grads):
+    (noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih, targets,
+     wo1, bo1, wo2, bo2, h0, c0, hs, cs) = residuals
+    dlast, dnll, dbce = grads
+    gscale = jnp.stack([jnp.asarray(dnll, jnp.float32),
+                        jnp.asarray(dbce, jnp.float32)]).reshape(1, 2)
+    (dwcat, dbias, db1, dw2m, dw2v, db2, dwih, dwo1, dbo1, dwo2, dbo2,
+     dh0, dc0) = _fused_bwd_call(
+        noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih, targets,
+        (wo1, bo1, wo2, bo2), h0, c0, hs, cs, dlast, gscale, interpret,
+        precision)
+    return (jnp.zeros_like(noise), jnp.zeros_like(lengths_f),
+            dwcat, dbias.reshape(-1), db1.reshape(-1), dw2m, dw2v,
+            db2.reshape(-1), dwih, jnp.zeros_like(targets),
+            dwo1, dbo1, dwo2, dbo2, dh0, dc0)
+
+
+_floss_loop_cvjp.defvjp(_floss_loop_fwd, _floss_loop_bwd)
 
 
 def decoder_loop_fused_nll(noise, lengths, w_cat, bias, b1_flat,
@@ -1264,6 +1417,38 @@ def decoder_loop_fused_nll(noise, lengths, w_cat, bias, b1_flat,
         noise, lengths_f, w_cat, bias.reshape(1, -1),
         b1_flat.reshape(1, -1), w2_mean, w2_logvar, b2_flat.reshape(1, -1),
         w_ih, targets, h0, c0, interpret, precision)
+
+
+def decoder_loop_fused_losses(noise, lengths, w_cat, bias, b1_flat,
+                              w2_mean, w2_logvar, b2_flat, w_ih, targets,
+                              wo1, bo1, wo2, bo2, h0, c0,
+                              interpret: bool = False, precision=None):
+    """LSTM decoder loop with BOTH training losses fused in-kernel.
+
+    Extends ``decoder_loop_fused_nll`` (Gaussian emission NLL from
+    streamed position-major targets) with the offset-predictor MLP
+    (Linear->tanh->Linear, models/mlp.py) and its masked BCE, whose
+    target is synthesized in-register as (t == len-1) — the training
+    contract (train/learner.py derives is_offset from lengths the same
+    way; reference learning.py feeds the decoder the identical flag).
+    With offset logits consumed in-kernel, the (T, B, H) outs stream has
+    no consumer and collapses to one resident VMEM block holding the
+    final step's pre-mask h2, from which the caller recomputes position
+    T-1's emission term (the stream path's .at[-1].set overwrite).
+
+    Args beyond decoder_loop_fused_nll: wo1 (H, Mo), bo1 (1, Mo),
+    wo2 (1, Mo) — the offset MLP's second-layer weight as a row —
+    and bo2 (1, 1).
+
+    Returns (out_last (B, H), nll scalar, bce scalar): nll covers
+    positions 0..T-2 (caller adds T-1's term), bce covers ALL T
+    positions.
+    """
+    lengths_f = jnp.asarray(lengths, jnp.float32).reshape(-1, 1)
+    return _floss_loop_cvjp(
+        noise, lengths_f, w_cat, bias.reshape(1, -1),
+        b1_flat.reshape(1, -1), w2_mean, w2_logvar, b2_flat.reshape(1, -1),
+        w_ih, targets, wo1, bo1, wo2, bo2, h0, c0, interpret, precision)
 
 
 def decoder_loop(noise, lengths, w_cat, bias, b1_flat,

@@ -473,18 +473,17 @@ def test_fused_nll_matches_stream_kernel_and_scan():
     scan_o = run_with("scan", False)
     stream_o = run_with("pallas", False)
     fused_o = run_with("pallas", True)
-    # the gate actually engaged: no dead streams materialized
+    # the gate actually engaged: no dead streams materialized (with
+    # offsets given, the offset MLP+BCE are fused too, so the logits
+    # never exist either)
     assert fused_o.out is None
     assert fused_o.emission_params == ()
+    assert fused_o.offset_weights is None
     for ref in (scan_o, stream_o):
         np.testing.assert_allclose(float(fused_o.emission_loss),
                                    float(ref.emission_loss), rtol=1e-4)
         np.testing.assert_allclose(float(fused_o.offset_loss),
                                    float(ref.offset_loss), rtol=1e-4)
-    # offset logits ride the same outs stream on all paths
-    np.testing.assert_allclose(np.asarray(fused_o.offset_weights),
-                               np.asarray(stream_o.offset_weights),
-                               rtol=2e-5, atol=2e-6)
 
 
 def test_fused_nll_gradients_match_scan():
@@ -501,7 +500,12 @@ def test_fused_nll_gradients_match_scan():
     feats = jnp.asarray(rng.normal(size=(B, 4)).astype(np.float32))
     lengths = jnp.asarray([T, 4, 2])
     gt = jnp.asarray(rng.normal(size=(B, T, F)).astype(np.float32))
-    off = jnp.zeros((B, T), jnp.float32)
+    # the loss_only contract: offsets are (t == len-1), as the Learner
+    # derives them — the fused kernel synthesizes this target from
+    # lengths, so the scan reference must use the same one
+    off = np.zeros((B, T), np.float32)
+    off[np.arange(B), np.asarray(lengths) - 1] = 1.0
+    off = jnp.asarray(off)
 
     def loss(p, backend, loss_only):
         old = os.environ.get("SEQ2SEQ_RNN_BACKEND")
@@ -513,9 +517,9 @@ def test_fused_nll_gradients_match_scan():
                 ground_truth_offset=off, key=jax.random.PRNGKey(5),
                 deterministic=False, emission_mode="sample",
                 loss_only=loss_only)
-            # scale the emission term so the SMEM cotangent is a
-            # non-trivial scalar, not 1.0
-            return 0.37 * o.emission_loss + o.offset_loss
+            # scale both terms so the SMEM cotangents are non-trivial
+            # scalars, not 1.0
+            return 0.37 * o.emission_loss + 0.61 * o.offset_loss
         finally:
             if old is None:
                 del os.environ["SEQ2SEQ_RNN_BACKEND"]
@@ -528,6 +532,51 @@ def test_fused_nll_gradients_match_scan():
     flat_s, _ = jax.tree_util.tree_flatten(g_scan)
     flat_f, _ = jax.tree_util.tree_flatten(g_fused)
     assert len(flat_s) == len(flat_f)
+    for a, b in zip(flat_s, flat_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_fused_nll_only_path_without_offsets():
+    """With ground_truth_offset=None, loss_only routes through the
+    NLL-only fused kernel (full outs stream kept for nothing but the
+    caller's own use): emission loss and its gradients must still match
+    scan."""
+    import os
+
+    from seq2seq_abcd_vae_tpu.utils import backend_select
+
+    cfg, params, _, _, _, _ = setup()
+    rng = np.random.default_rng(23)
+    feats = jnp.asarray(rng.normal(size=(B, 4)).astype(np.float32))
+    lengths = jnp.asarray([T, 4, 2])
+    gt = jnp.asarray(rng.normal(size=(B, T, F)).astype(np.float32))
+
+    def loss(p, backend, loss_only):
+        old = os.environ.get("SEQ2SEQ_RNN_BACKEND")
+        os.environ["SEQ2SEQ_RNN_BACKEND"] = backend
+        backend_select.resolve_rnn_backend.cache_clear()
+        try:
+            o = dec.decoder_apply(
+                p, cfg, feats, lengths, T, ground_truth_out=gt,
+                ground_truth_offset=None, key=jax.random.PRNGKey(5),
+                deterministic=False, emission_mode="sample",
+                loss_only=loss_only)
+            return 0.43 * o.emission_loss
+        finally:
+            if old is None:
+                del os.environ["SEQ2SEQ_RNN_BACKEND"]
+            else:
+                os.environ["SEQ2SEQ_RNN_BACKEND"] = old
+            backend_select.resolve_rnn_backend.cache_clear()
+
+    ls, g_scan = jax.value_and_grad(
+        lambda p: loss(p, "scan", False))(params)
+    lf, g_fused = jax.value_and_grad(
+        lambda p: loss(p, "pallas", True))(params)
+    np.testing.assert_allclose(float(lf), float(ls), rtol=1e-4)
+    flat_s, _ = jax.tree_util.tree_flatten(g_scan)
+    flat_f, _ = jax.tree_util.tree_flatten(g_fused)
     for a, b in zip(flat_s, flat_f):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-4, atol=5e-5)
