@@ -107,8 +107,66 @@ def run_cell(rnn_type: str, b: int, t: int, h: int, f: int):
         diffs["fused_grad_rel"] = fmax
         ok = ok and diffs["fused_loss"] < 1e-4 and fmax < 2e-3
 
+    if rnn_type == "LSTM" and jax.devices()[0].platform == "tpu":
+        lk, kk = kernel_rng_check(params, b, t, h, f)
+        diffs["krng_loss"] = lk
+        diffs["krng_grad_rel"] = kk
+        ok = ok and lk < 1e-6 and kk < 1e-5
+
     return {"cell": rnn_type, "shape": [b, t, h, f], "pass": bool(ok),
             "max_abs_diffs": {k: round(v, 8) for k, v in diffs.items()}}
+
+
+def kernel_rng_check(params, b, t, h, f):
+    """Transitive proof of SEQ2SEQ_KERNEL_RNG: decoder_noise_dump
+    materializes the exact per-step in-kernel draws; feeding that
+    stream to the stream-noise fused-losses kernel must reproduce the
+    seed-mode kernel's loss and w_cat gradient (same values, same
+    summation order -> ~bit-identical).  Hardware-only: interpret mode
+    lacks pltpu.prng_seed."""
+    import jax
+    import jax.numpy as jnp
+
+    from seq2seq_abcd_vae_tpu.ops import decoder_pallas as dp
+
+    cell = params["rnn_cell"]
+    em = params["emission_sampler"]["to_parameters"]
+    op = params["offset_predictor"]
+    w1 = em["lin1"]["w"]
+    w1_flat = jnp.moveaxis(w1, 0, 1).reshape(w1.shape[1], -1)
+    w_cat2 = jnp.concatenate([cell["w_hh"], w1_flat], axis=1)
+    rng = np.random.default_rng(17)
+    h0 = jnp.asarray(rng.normal(size=(b, h)).astype(np.float32))
+    c0 = jnp.asarray(rng.normal(size=(b, h)).astype(np.float32))
+    lengths = np.full((b,), t, np.float32)
+    lengths[1:] = rng.integers(2, t + 1, size=(b - 1,))
+    targets = jnp.asarray(
+        rng.normal(size=(t, b, f)).astype(np.float32))
+    seed = 123456.0
+    noise = dp.decoder_noise_dump(seed, t, b, f)
+
+    def loss_with(narg):
+        def fn(wcat):
+            out_last, nll, bce = dp.decoder_loop_fused_losses(
+                narg, jnp.asarray(lengths), wcat,
+                cell["b_ih"] + cell["b_hh"],
+                em["lin1"]["b"].reshape(-1), em["lin2"]["w"][0],
+                em["lin2"]["w"][1], em["lin2"]["b"].reshape(-1),
+                cell["w_ih"], targets,
+                op["lin1"]["w"], op["lin1"]["b"].reshape(1, -1),
+                op["lin2"]["w"].reshape(1, -1),
+                op["lin2"]["b"].reshape(1, 1), h0, c0)
+            return nll + bce + jnp.sum(out_last)
+        return fn
+
+    ls, gs = jax.jit(jax.value_and_grad(loss_with(noise)))(w_cat2)
+    lk, gk = jax.jit(jax.value_and_grad(loss_with(
+        jnp.full((1, 1), seed, jnp.float32))))(w_cat2)
+    dl = abs(float(ls) - float(lk)) / (abs(float(ls)) + 1e-9)
+    gs, gk = np.asarray(gs), np.asarray(gk)
+    dg = float(np.max(np.abs(gs - gk))) / (float(np.max(np.abs(gs)))
+                                           + 1e-9)
+    return dl, dg
 
 
 def main():

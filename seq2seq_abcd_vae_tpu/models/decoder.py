@@ -412,7 +412,15 @@ def _run_direction_fused_losses(cfg: DecoderConfig, cell_params: dict,
     f = cfg.output_size
     d = dist.choose_distribution(cfg.emission_distr_name)
     k_noise, _ = jax.random.split(key)
-    noise_t = d.noise(k_noise, (t, b, f), h0.dtype)
+    if (os.environ.get("SEQ2SEQ_KERNEL_RNG", "0") == "1"
+            and jax.default_backend() == "tpu"):
+        # in-kernel RNG: a (1,1) f32 seed replaces the (T,B,F) noise
+        # stream (ops/decoder_pallas.py:_kernel_noise — forks the RNG
+        # stream from scan/stream paths, like SEQ2SEQ_FAST_RNG)
+        noise_t = jax.random.randint(k_noise, (1, 1), 0,
+                                     1 << 24).astype(jnp.float32)
+    else:
+        noise_t = d.noise(k_noise, (t, b, f), h0.dtype)
     lengths_row = jnp.sum(step_mask.astype(jnp.float32), axis=1)
     em = emission_params["to_parameters"]
     w1 = em["lin1"]["w"]

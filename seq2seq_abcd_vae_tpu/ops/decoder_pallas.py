@@ -950,6 +950,58 @@ def rnn_decoder_loop(noise, lengths, w_cat, bias, b1_flat,
 # ---------------------------------------------------------------------------
 
 _LOG_2PI = 1.8378770664093453
+_TWO_PI = 6.283185307179586
+
+
+def _kernel_noise(seed_ref, t, shape):
+    """Standard-normal noise generated in-kernel (SEQ2SEQ_KERNEL_RNG=1):
+    the per-core PRNG is re-seeded (seed, t) at each grid step, so the
+    backward pass regenerates bit-identical draws and NO (T, B, F)
+    noise stream ever exists in HBM — removing the XLA threefry fusion,
+    its relayout copy, and the per-step stream reads in both kernels.
+    Box-Muller over two 24-bit uniforms (u1 offset by 2^-25 so log(u1)
+    is finite).  Hardware-only (interpret mode lacks prng_seed); like
+    SEQ2SEQ_FAST_RNG this forks the RNG stream from the scan/stream
+    paths, so same-seed CPU and TPU trajectories diverge — default off.
+    """
+    # the seed rides in SMEM as f32 (exact for values < 2^24) so the
+    # custom VJP can return an ordinary zero cotangent for it instead
+    # of float0
+    pltpu.prng_seed(seed_ref[0, 0].astype(jnp.int32), t)
+
+    def u24(bits):
+        # logical shift in uint32, then via int32 (top byte now zero,
+        # so the value is non-negative) — Mosaic has no uint32->f32
+        # cast
+        hi = pltpu.bitcast(pltpu.bitcast(bits, jnp.uint32) >> 8,
+                           jnp.int32)
+        return hi.astype(jnp.float32) * (2.0 ** -24)
+
+    u1 = u24(pltpu.prng_random_bits(shape)) + (2.0 ** -25)
+    u2 = u24(pltpu.prng_random_bits(shape))
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+
+
+def _noise_dump_kernel(seed_ref, out_ref):
+    out_ref[0] = _kernel_noise(seed_ref, pl.program_id(0),
+                               out_ref.shape[1:])
+
+
+def decoder_noise_dump(seed, t, b, f, interpret: bool = False):
+    """Materialize the exact (T, B, F) noise stream the kernel-RNG mode
+    consumes — parity probes feed it to the stream-noise kernel path and
+    compare (scripts/decoder_kernel_parity.py)."""
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                        memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        _noise_dump_kernel,
+        grid=(t,),
+        in_specs=[smem],
+        out_specs=pl.BlockSpec((1, b, f), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, b, f), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.float32).reshape(1, 1))
 
 
 def _offset_target(t, len_ref, mt):
@@ -960,7 +1012,7 @@ def _offset_target(t, len_ref, mt):
 
 
 def _fused_fwd_kernel(*refs, hidden: int, m: int, with_offset: bool,
-                      precision=None):
+                      kernel_rng: bool = False, precision=None):
     """Like _fwd_kernel, but instead of emitting mean/logvar streams it
     reads the position-indexed TARGETS (same slot map: step t covers
     position t-1; the t=0 read of slot T-1 is dead — pmt masks it) and
@@ -999,7 +1051,14 @@ def _fused_fwd_kernel(*refs, hidden: int, m: int, with_offset: bool,
             + b2_ref[:, :f_dim])
     logvar = (_mxu_dot(emh[:, m:], w2v_ref[:, :], precision)
               + b2_ref[:, f_dim:])
-    x = mean + jnp.exp(0.5 * logvar) * noise_ref[0]
+    if kernel_rng:
+        # noise_ref is the (1,1) SMEM seed; generate slot max(t-1,0)'s
+        # draw (the same slot the stream spec reads; dead at t=0)
+        eps = _kernel_noise(noise_ref, jnp.maximum(t - 1, 0),
+                            mean.shape)
+    else:
+        eps = noise_ref[0]
+    x = mean + jnp.exp(0.5 * logvar) * eps
     x = x * pmt  # zero first input per row
 
     diff = tgt_ref[0] - mean
@@ -1035,7 +1094,7 @@ def _fused_fwd_kernel(*refs, hidden: int, m: int, with_offset: bool,
 
 
 def _fused_bwd_kernel(*refs, hidden: int, m: int, with_offset: bool,
-                      precision=None):
+                      kernel_rng: bool = False, precision=None):
     """Like _bwd_kernel, but the emission cotangents are computed
     in-kernel from the streamed targets (slot t-1) and the scalar loss
     cotangent g (SMEM):  d(-ll)/dmean = -g*pmt*diff*exp(-logvar),
@@ -1085,8 +1144,12 @@ def _fused_bwd_kernel(*refs, hidden: int, m: int, with_offset: bool,
                        cprev_ref[0]).astype(jnp.float32)
     t_now = nt - 1 - s
     mt, pmt = _step_masks(t_now, len_ref)
-    eps = noise_ref[0]
     f_dim = w2m_ref.shape[1]
+    if kernel_rng:
+        eps = _kernel_noise(noise_ref, jnp.maximum(t_now - 1, 0),
+                            (h0_ref.shape[0], f_dim))
+    else:
+        eps = noise_ref[0]
 
     # ---- forward recompute of this step
     big = _mxu_dot(h_prev, wcat_ref[:, :], precision)
@@ -1181,7 +1244,10 @@ def _fused_bwd_kernel(*refs, hidden: int, m: int, with_offset: bool,
 def _fused_fwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
                     targets, offset_params, h0, c0, interpret,
                     precision):
-    t, b, f = noise.shape
+    # noise is either the (T, B, F) f32 presampled stream or — in
+    # kernel-RNG mode — the (1, 1) f32 seed scalar
+    kernel_rng = noise.ndim == 2
+    t, b, f = targets.shape
     hidden = h0.shape[1]
     g_all = wcat.shape[1]
     m = (g_all - 4 * hidden) // 2
@@ -1193,6 +1259,8 @@ def _fused_fwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
     smem = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                     memory_space=pltpu.SMEM)
     n_sc = 2 if with_offset else 1
+    if kernel_rng:
+        ins = [smem((1, 1))] + ins[1:]
     in_specs = ins + [pos((1, b, f))]
     operands = [noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
                 targets]
@@ -1213,7 +1281,8 @@ def _fused_fwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
     operands += [h0, c0]
     outs, hs, cs, sc = pl.pallas_call(
         functools.partial(_fused_fwd_kernel, hidden=hidden, m=m,
-                          with_offset=with_offset, precision=precision),
+                          with_offset=with_offset, kernel_rng=kernel_rng,
+                          precision=precision),
         grid=(t,),
         in_specs=in_specs,
         out_specs=[out0, stream3((1, b, hidden)),
@@ -1236,8 +1305,10 @@ def _fused_bwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
                     gscale, interpret, precision):
     """douts: the reversed (T,B,H) outs cotangent stream, or — with
     offset fusion — the resident (B,H) last-step cotangent.  gscale:
-    (1,1) nll cotangent, or (1,2) [nll, bce] cotangents."""
-    t, b, f = noise.shape
+    (1,1) nll cotangent, or (1,2) [nll, bce] cotangents.  noise: the
+    (T,B,F) presampled stream, or the (1,1) f32 seed (kernel RNG)."""
+    kernel_rng = noise.ndim == 2
+    t, b, f = targets.shape
     hidden = h0.shape[1]
     g_all = wcat.shape[1]
     m = (g_all - 4 * hidden) // 2
@@ -1251,7 +1322,8 @@ def _fused_bwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
     smem = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
                                     memory_space=pltpu.SMEM)
     rev_ins = [
-        shift3((1, b, f)),             # noise at t-1 (unshifted input)
+        smem((1, 1)) if kernel_rng
+        else shift3((1, b, f)),        # noise at t-1 / RNG seed
     ] + ins[1:] + [
         shift3((1, b, f)),             # targets at slot t-1 (pmt-gated)
     ]
@@ -1299,7 +1371,8 @@ def _fused_bwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
                   jax.ShapeDtypeStruct((b, hidden), jnp.float32)]
     grads = pl.pallas_call(
         functools.partial(_fused_bwd_kernel, hidden=hidden, m=m,
-                          with_offset=with_offset, precision=precision),
+                          with_offset=with_offset, kernel_rng=kernel_rng,
+                          precision=precision),
         grid=(t,),
         in_specs=rev_ins,
         out_specs=out_specs,
