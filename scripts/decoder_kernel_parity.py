@@ -88,9 +88,10 @@ def run_cell(rnn_type: str, b: int, t: int, h: int, f: int):
     diffs["grad_rel"] = gmax
     ok = diffs["loss"] < 1e-4 and diffs["out"] < 5e-3 and gmax < 2e-3
 
-    if rnn_type == "LSTM":
-        # the fused in-kernel-NLL training path (loss_only=True routes
-        # through decoder_loop_fused_nll): loss + grads vs scan
+    if rnn_type in ("LSTM", "GRU"):
+        # the fused in-kernel-loss training path (loss_only=True routes
+        # through decoder_loop_fused_losses / gru_...): loss + grads vs
+        # scan
         os.environ["SEQ2SEQ_RNN_BACKEND"] = "pallas"
         backend_select.resolve_rnn_backend.cache_clear()
         vg = jax.jit(jax.value_and_grad(

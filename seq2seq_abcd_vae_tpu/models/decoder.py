@@ -427,19 +427,25 @@ def _run_direction_fused_losses(cfg: DecoderConfig, cell_params: dict,
     w1_flat = jnp.moveaxis(w1, 0, 1).reshape(w1.shape[1], -1)
     w_cat2 = jnp.concatenate([cell_params["w_hh"], w1_flat], axis=1)
     targets = jnp.swapaxes(ground_truth_out, 0, 1)
+    emission_args = (em["lin1"]["b"].reshape(-1), em["lin2"]["w"][0],
+                     em["lin2"]["w"][1], em["lin2"]["b"].reshape(-1),
+                     cell_params["w_ih"], targets,
+                     offset_params["lin1"]["w"],
+                     offset_params["lin1"]["b"].reshape(1, -1),
+                     offset_params["lin2"]["w"].reshape(1, -1),
+                     offset_params["lin2"]["b"].reshape(1, 1))
+    interpret = jax.default_backend() != "tpu"
+    precision = rnn_mod.kernel_precision()
+    if cfg.rnn_type == "GRU":
+        return decoder_pallas.gru_decoder_loop_fused_losses(
+            noise_t, lengths_row, w_cat2, cell_params["b_ih"],
+            cell_params["b_hh"], *emission_args, h0,
+            interpret=interpret, precision=precision)
     return decoder_pallas.decoder_loop_fused_losses(
         noise_t, lengths_row, w_cat2,
         cell_params["b_ih"] + cell_params["b_hh"],
-        em["lin1"]["b"].reshape(-1), em["lin2"]["w"][0],
-        em["lin2"]["w"][1], em["lin2"]["b"].reshape(-1),
-        cell_params["w_ih"], targets,
-        offset_params["lin1"]["w"],
-        offset_params["lin1"]["b"].reshape(1, -1),
-        offset_params["lin2"]["w"].reshape(1, -1),
-        offset_params["lin2"]["b"].reshape(1, 1),
-        h0, c0,
-        interpret=jax.default_backend() != "tpu",
-        precision=rnn_mod.kernel_precision())
+        *emission_args, h0, c0,
+        interpret=interpret, precision=precision)
 
 
 def _stack_params(a: dict, b: dict) -> dict:
@@ -646,7 +652,10 @@ def decoder_apply(params: dict, cfg: DecoderConfig, features: jax.Array,
         h0, c0 = _split_hidden(cfg, hidden)
         key_f = jax.random.fold_in(key, 0)
         if (loss_only and ground_truth_out is not None
-                and cfg.rnn_type == "LSTM" and emission_mode == "sample"
+                and (cfg.rnn_type == "LSTM"
+                     or (cfg.rnn_type == "GRU"
+                         and ground_truth_offset is not None))
+                and emission_mode == "sample"
                 and (deterministic or cfg.input_dropout <= 0.0)
                 and cfg.emission_distr_name == "isotropic_gaussian"
                 and rnn_mod.resolved_backend() == "pallas"
