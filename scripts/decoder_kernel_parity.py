@@ -88,7 +88,7 @@ def run_cell(rnn_type: str, b: int, t: int, h: int, f: int):
     diffs["grad_rel"] = gmax
     ok = diffs["loss"] < 1e-4 and diffs["out"] < 5e-3 and gmax < 2e-3
 
-    if rnn_type in ("LSTM", "GRU"):
+    if rnn_type in ("LSTM", "GRU", "RNN"):
         # the fused in-kernel-loss training path (loss_only=True routes
         # through decoder_loop_fused_losses / gru_...): loss + grads vs
         # scan

@@ -441,6 +441,12 @@ def _run_direction_fused_losses(cfg: DecoderConfig, cell_params: dict,
             noise_t, lengths_row, w_cat2, cell_params["b_ih"],
             cell_params["b_hh"], *emission_args, h0,
             interpret=interpret, precision=precision)
+    if cfg.rnn_type == "RNN":
+        return decoder_pallas.rnn_decoder_loop_fused_losses(
+            noise_t, lengths_row, w_cat2,
+            cell_params["b_ih"] + cell_params["b_hh"],
+            *emission_args, h0,
+            interpret=interpret, precision=precision)
     return decoder_pallas.decoder_loop_fused_losses(
         noise_t, lengths_row, w_cat2,
         cell_params["b_ih"] + cell_params["b_hh"],
@@ -653,7 +659,7 @@ def decoder_apply(params: dict, cfg: DecoderConfig, features: jax.Array,
         key_f = jax.random.fold_in(key, 0)
         if (loss_only and ground_truth_out is not None
                 and (cfg.rnn_type == "LSTM"
-                     or (cfg.rnn_type == "GRU"
+                     or (cfg.rnn_type in ("GRU", "RNN")
                          and ground_truth_offset is not None))
                 and emission_mode == "sample"
                 and (deterministic or cfg.input_dropout <= 0.0)

@@ -1288,6 +1288,333 @@ def rnn_decoder_loop(noise, lengths, w_cat, bias, b1_flat,
 
 
 # ---------------------------------------------------------------------------
+# Elman fused-losses variant (training fast path; mirrors the LSTM/GRU
+# decoder_loop_fused_losses: emission NLL + offset MLP/BCE in SMEM
+# scalars, outs collapsed to a resident last-step block).
+# ---------------------------------------------------------------------------
+
+
+def _rnn_floss_fwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
+                          b1_ref, w2m_ref, w2v_ref, b2_ref, wih_ref,
+                          tgt_ref, wo1_ref, bo1_ref, wo2_ref, bo2_ref,
+                          h0_ref, out_ref, hs_ref, sc_ref, h_scr,
+                          *, hidden: int, m: int,
+                          kernel_rng: bool = False, precision=None):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:, :].astype(jnp.float32)
+        sc_ref[0, 0] = 0.0
+        sc_ref[0, 1] = 0.0
+
+    h = h_scr[:]
+    mt, pmt = _step_masks(t, len_ref)
+    big = _mxu_dot(h, wcat_ref[:, :], precision)
+    hp = big[:, :hidden]
+    emh = jnp.tanh(big[:, hidden:] + b1_ref[:, :])
+    f_dim = w2m_ref.shape[1]
+    mean = (_mxu_dot(emh[:, :m], w2m_ref[:, :], precision)
+            + b2_ref[:, :f_dim])
+    logvar = (_mxu_dot(emh[:, m:], w2v_ref[:, :], precision)
+              + b2_ref[:, f_dim:])
+    if kernel_rng:
+        eps = _kernel_noise(noise_ref, jnp.maximum(t - 1, 0),
+                            mean.shape)
+    else:
+        eps = noise_ref[0]
+    x = (mean + jnp.exp(0.5 * logvar) * eps) * pmt
+
+    diff = tgt_ref[0] - mean
+    nll_t = 0.5 * (_LOG_2PI + logvar + diff * jnp.exp(-logvar) * diff)
+    sc_ref[0, 0] += jnp.sum(nll_t * pmt)
+
+    h2 = jnp.tanh(hp + _mxu_dot(x, wih_ref[:, :], precision)
+                  + bias_ref[:, :])
+
+    oh = jnp.tanh(_mxu_dot(h2, wo1_ref[:, :], precision)
+                  + bo1_ref[:, :])
+    zo = (jnp.sum(oh * wo2_ref[:, :], axis=1, keepdims=True)
+          + bo2_ref[0, 0])
+    y = _offset_target(t, len_ref, mt)
+    bce = (jnp.maximum(zo, 0.0) - zo * y
+           + jnp.log1p(jnp.exp(-jnp.abs(zo))))
+    sc_ref[0, 1] += jnp.sum(bce * mt)
+
+    h = jnp.where(mt > 0, h2, h)
+    h_scr[:] = h
+    out_ref[0] = h2
+    hs_ref[0] = h
+
+
+def _rnn_floss_bwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
+                          b1_ref, w2m_ref, w2v_ref, b2_ref, wih_ref,
+                          tgt_ref, wo1_ref, bo1_ref, wo2_ref, bo2_ref,
+                          g_ref, hprev_ref, dlast_ref,
+                          dwcat_ref, dbias_ref, db1_ref, dw2m_ref,
+                          dw2v_ref, db2_ref, dwih_ref,
+                          dwo1_ref, dbo1_ref, dwo2_ref, dbo2_ref,
+                          dh0_ref, dh_scr,
+                          *, hidden: int, m: int,
+                          kernel_rng: bool = False, precision=None):
+    s = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    @pl.when(s == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dwcat_ref[:, :] = jnp.zeros_like(dwcat_ref)
+        dbias_ref[:, :] = jnp.zeros_like(dbias_ref)
+        db1_ref[:, :] = jnp.zeros_like(db1_ref)
+        dw2m_ref[:, :] = jnp.zeros_like(dw2m_ref)
+        dw2v_ref[:, :] = jnp.zeros_like(dw2v_ref)
+        db2_ref[:, :] = jnp.zeros_like(db2_ref)
+        dwih_ref[:, :] = jnp.zeros_like(dwih_ref)
+        dwo1_ref[:, :] = jnp.zeros_like(dwo1_ref)
+        dbo1_ref[:, :] = jnp.zeros_like(dbo1_ref)
+        dwo2_ref[:, :] = jnp.zeros_like(dwo2_ref)
+        dbo2_ref[0, 0] = 0.0
+
+    h_prev = hprev_ref[0].astype(jnp.float32)
+    t_now = nt - 1 - s
+    mt, pmt = _step_masks(t_now, len_ref)
+    f_dim = w2m_ref.shape[1]
+    if kernel_rng:
+        eps = _kernel_noise(noise_ref, jnp.maximum(t_now - 1, 0),
+                            (h_prev.shape[0], f_dim))
+    else:
+        eps = noise_ref[0]
+
+    # ---- forward recompute of this step
+    big = _mxu_dot(h_prev, wcat_ref[:, :], precision)
+    hp = big[:, :hidden]
+    emh = jnp.tanh(big[:, hidden:] + b1_ref[:, :])
+    mean = (_mxu_dot(emh[:, :m], w2m_ref[:, :], precision)
+            + b2_ref[:, :f_dim])
+    logvar = (_mxu_dot(emh[:, m:], w2v_ref[:, :], precision)
+              + b2_ref[:, f_dim:])
+    std = jnp.exp(0.5 * logvar)
+    x = (mean + std * eps) * pmt
+    h2 = jnp.tanh(hp + _mxu_dot(x, wih_ref[:, :], precision)
+                  + bias_ref[:, :])
+
+    # ---- offset-MLP recompute + in-register BCE adjoint
+    oh = jnp.tanh(_mxu_dot(h2, wo1_ref[:, :], precision)
+                  + bo1_ref[:, :])
+    zo = (jnp.sum(oh * wo2_ref[:, :], axis=1, keepdims=True)
+          + bo2_ref[0, 0])
+    y = _offset_target(t_now, len_ref, mt)
+    dzo = g_ref[0, 1] * mt * (jax.nn.sigmoid(zo) - y)
+    doh = (dzo * wo2_ref[:, :]) * (1.0 - oh * oh)
+    dwo1_ref[:, :] += _mxu_dot_tn(h2, doh, precision)
+    dbo1_ref[:, :] += jnp.sum(doh, axis=0, keepdims=True)
+    dwo2_ref[:, :] += jnp.sum(oh * dzo, axis=0, keepdims=True)
+    dbo2_ref[0, 0] += jnp.sum(dzo)
+
+    # ---- adjoint of:  h2 = tanh(pre);  h = m ? h2 : h_prev
+    dh_carry = dh_scr[:]
+    dh2 = (_mxu_dot_nt(doh, wo1_ref[:, :], precision)
+           + jnp.where(s == 0, dlast_ref[:, :], 0.0)
+           + jnp.where(mt > 0, dh_carry, 0.0))
+    dpre = dh2 * (1.0 - h2 * h2)
+    dh_prev = jnp.where(mt > 0, 0.0, dh_carry)
+
+    dx = _mxu_dot_nt(dpre, wih_ref[:, :], precision)
+    dwih_ref[:, :] += _mxu_dot_tn(x, dpre, precision)
+    dbias_ref[:, :] += jnp.sum(dpre, axis=0, keepdims=True)
+
+    dx = dx * pmt
+    gscale = g_ref[0, 0]
+    inv_var = jnp.exp(-logvar)
+    diff = tgt_ref[0] - mean
+    gm = gscale * pmt
+    dmean = dx - gm * diff * inv_var
+    dlogvar = (dx * 0.5 * std * eps
+               + gm * 0.5 * (1.0 - diff * inv_var * diff))
+    db2_ref[:, :f_dim] += jnp.sum(dmean, axis=0, keepdims=True)
+    db2_ref[:, f_dim:] += jnp.sum(dlogvar, axis=0, keepdims=True)
+    demh_m = _mxu_dot_nt(dmean, w2m_ref[:, :], precision)
+    demh_v = _mxu_dot_nt(dlogvar, w2v_ref[:, :], precision)
+    dw2m_ref[:, :] += _mxu_dot_tn(emh[:, :m], dmean, precision)
+    dw2v_ref[:, :] += _mxu_dot_tn(emh[:, m:], dlogvar, precision)
+    demh = jnp.concatenate([demh_m, demh_v], axis=-1)
+    dbig_em = demh * (1.0 - emh * emh)
+    db1_ref[:, :] += jnp.sum(dbig_em, axis=0, keepdims=True)
+
+    dbig = jnp.concatenate([dpre, dbig_em], axis=-1)
+    dh_prev = dh_prev + _mxu_dot_nt(dbig, wcat_ref[:, :], precision)
+    dwcat_ref[:, :] += _mxu_dot_tn(h_prev, dbig, precision)
+    dh_scr[:] = dh_prev
+
+    @pl.when(s == nt - 1)
+    def _():
+        dh0_ref[:, :] = dh_scr[:]
+
+
+def _rnn_floss_fwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
+                        wih, targets, offset_params, h0, interpret,
+                        precision):
+    kernel_rng = noise.ndim == 2
+    t, b, f = targets.shape
+    hidden = h0.shape[1]
+    g_all = wcat.shape[1]
+    m = (g_all - hidden) // 2
+    wo1, bo1, wo2, bo2 = offset_params
+    mo = wo1.shape[1]
+    ins, stream3, res = _rnn_specs(b, f, hidden, m, g_all)
+    pos = lambda shp: pl.BlockSpec(
+        shp, lambda i: (jnp.where(i == 0, t - 1, i - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    smem = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                    memory_space=pltpu.SMEM)
+    if kernel_rng:
+        ins = [smem((1, 1))] + ins[1:]
+    out_last, hs, sc = pl.pallas_call(
+        functools.partial(_rnn_floss_fwd_kernel, hidden=hidden, m=m,
+                          kernel_rng=kernel_rng, precision=precision),
+        grid=(t,),
+        in_specs=ins + [pos((1, b, f)), res((hidden, mo)), res((1, mo)),
+                        res((1, mo)), smem((1, 1)), res((b, hidden))],
+        out_specs=[res((1, b, hidden)), stream3((1, b, hidden)),
+                   smem((1, 2))],
+        out_shape=[jax.ShapeDtypeStruct((1, b, hidden), jnp.float32),
+                   jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 2), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
+      targets, wo1, bo1, wo2, bo2, h0)
+    return out_last, hs, sc
+
+
+def _rnn_floss_bwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
+                        wih, targets, offset_params, h0, hs, dlast,
+                        gscale, interpret, precision):
+    kernel_rng = noise.ndim == 2
+    t, b, f = targets.shape
+    hidden = h0.shape[1]
+    g_all = wcat.shape[1]
+    m = (g_all - hidden) // 2
+    wo1, bo1, wo2, bo2 = offset_params
+    mo = wo1.shape[1]
+    ins, stream3, res = _rnn_specs(b, f, hidden, m, g_all)
+    h_prev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
+    rev3 = lambda shp: pl.BlockSpec(shp, lambda i: (t - 1 - i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    shift3 = lambda shp: pl.BlockSpec(
+        shp, lambda i: (jnp.maximum(t - 2 - i, 0), 0, 0),
+        memory_space=pltpu.VMEM)
+    smem = lambda shp: pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                                    memory_space=pltpu.SMEM)
+    rev_ins = [
+        smem((1, 1)) if kernel_rng
+        else shift3((1, b, f)),        # noise at t-1 / RNG seed
+    ] + ins[1:] + [
+        shift3((1, b, f)),             # targets at slot t-1 (pmt-gated)
+        res((hidden, mo)), res((1, mo)), res((1, mo)), smem((1, 1)),
+        smem((1, 2)),                  # loss cotangent scalars
+        rev3((1, b, hidden)),          # h_prev
+        res((b, hidden)),              # dlast
+    ]
+    out_specs = [
+        res((hidden, g_all)), res((1, hidden)), res((1, 2 * m)),
+        res((m, f)), res((m, f)), res((1, 2 * f)), res((f, hidden)),
+        res((hidden, mo)), res((1, mo)), res((1, mo)), smem((1, 1)),
+        res((b, hidden)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(wcat.shape, jnp.float32),
+        jax.ShapeDtypeStruct((1, hidden), jnp.float32),
+        jax.ShapeDtypeStruct((1, 2 * m), jnp.float32),
+        jax.ShapeDtypeStruct(w2m.shape, jnp.float32),
+        jax.ShapeDtypeStruct(w2v.shape, jnp.float32),
+        jax.ShapeDtypeStruct((1, 2 * f), jnp.float32),
+        jax.ShapeDtypeStruct(wih.shape, jnp.float32),
+        jax.ShapeDtypeStruct((hidden, mo), jnp.float32),
+        jax.ShapeDtypeStruct((1, mo), jnp.float32),
+        jax.ShapeDtypeStruct((1, mo), jnp.float32),
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((b, hidden), jnp.float32),
+    ]
+    grads = pl.pallas_call(
+        functools.partial(_rnn_floss_bwd_kernel, hidden=hidden, m=m,
+                          kernel_rng=kernel_rng, precision=precision),
+        grid=(t,),
+        in_specs=rev_ins,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
+      targets, wo1, bo1, wo2, bo2, gscale, h_prev, dlast)
+    return grads
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16))
+def _rnn_floss_cvjp(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
+                    wih, targets, wo1, bo1, wo2, bo2, h0, interpret,
+                    precision):
+    out_last, hs, sc = _rnn_floss_fwd_call(
+        noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih, targets,
+        (wo1, bo1, wo2, bo2), h0, interpret, precision)
+    return out_last[0], sc[0, 0], sc[0, 1]
+
+
+def _rnn_floss_fwd(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
+                   wih, targets, wo1, bo1, wo2, bo2, h0, interpret,
+                   precision):
+    out_last, hs, sc = _rnn_floss_fwd_call(
+        noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih, targets,
+        (wo1, bo1, wo2, bo2), h0, interpret, precision)
+    return ((out_last[0], sc[0, 0], sc[0, 1]),
+            (noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
+             targets, wo1, bo1, wo2, bo2, h0, hs))
+
+
+def _rnn_floss_bwd(interpret, precision, residuals, grads):
+    (noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih, targets,
+     wo1, bo1, wo2, bo2, h0, hs) = residuals
+    dlast, dnll, dbce = grads
+    gscale = jnp.stack([jnp.asarray(dnll, jnp.float32),
+                        jnp.asarray(dbce, jnp.float32)]).reshape(1, 2)
+    (dwcat, dbias, db1, dw2m, dw2v, db2, dwih, dwo1, dbo1, dwo2, dbo2,
+     dh0) = _rnn_floss_bwd_call(
+        noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih, targets,
+        (wo1, bo1, wo2, bo2), h0, hs, dlast, gscale, interpret,
+        precision)
+    return (jnp.zeros_like(noise), jnp.zeros_like(lengths_f),
+            dwcat, dbias.reshape(-1), db1.reshape(-1), dw2m, dw2v,
+            db2.reshape(-1), dwih, jnp.zeros_like(targets),
+            dwo1, dbo1, dwo2, dbo2, dh0)
+
+
+_rnn_floss_cvjp.defvjp(_rnn_floss_fwd, _rnn_floss_bwd)
+
+
+def rnn_decoder_loop_fused_losses(noise, lengths, w_cat, bias, b1_flat,
+                                  w2_mean, w2_logvar, b2_flat, w_ih,
+                                  targets, wo1, bo1, wo2, bo2, h0,
+                                  interpret: bool = False,
+                                  precision=None):
+    """Elman analogue of ``decoder_loop_fused_losses`` (emission NLL +
+    offset MLP/BCE fused in-kernel, (t == len-1) target synthesized from
+    lengths, outs stream collapsed to a resident last-step block).
+    ``noise`` is either the (T, B, F) presampled stream or the (1, 1)
+    f32 seed (SEQ2SEQ_KERNEL_RNG).  Returns (out_last (B, H), nll
+    covering positions 0..T-2, bce covering all positions)."""
+    lengths_f = jnp.asarray(lengths, jnp.float32).reshape(-1, 1)
+    return _rnn_floss_cvjp(
+        noise, lengths_f, w_cat, bias.reshape(1, -1),
+        b1_flat.reshape(1, -1), w2_mean, w2_logvar,
+        b2_flat.reshape(1, -1), w_ih, targets, wo1, bo1, wo2, bo2, h0,
+        interpret, precision)
+
+
+# ---------------------------------------------------------------------------
 # Fused-loss LSTM variants: the training loss's only consumers of the
 # emission streams are the masked Gaussian log-pdf and its adjoint, so
 # in training the kernel can stream the TARGETS in and accumulate the

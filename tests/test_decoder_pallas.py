@@ -635,3 +635,60 @@ def test_gru_fused_losses_match_scan():
     for a, b in zip(flat_s, flat_f):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_rnn_fused_losses_match_scan():
+    """Elman loss_only full fusion (rnn_decoder_loop_fused_losses):
+    losses and parameter gradients must match the scan path."""
+    import os
+
+    from seq2seq_abcd_vae_tpu.utils import backend_select
+
+    cfg = DecoderConfig(output_size=F, rnn_hidden_size=H,
+                        mlp_hidden_size=M, feature_size=4,
+                        rnn_type="RNN")
+    params = dec.decoder_init(jax.random.PRNGKey(8), cfg)
+    rng = np.random.default_rng(25)
+    feats = jnp.asarray(rng.normal(size=(B, 4)).astype(np.float32))
+    lengths = jnp.asarray([T, 4, 2])
+    gt = jnp.asarray(rng.normal(size=(B, T, F)).astype(np.float32))
+    off = np.zeros((B, T), np.float32)
+    off[np.arange(B), np.asarray(lengths) - 1] = 1.0
+    off = jnp.asarray(off)
+
+    def run(p, backend, loss_only, reduce=False):
+        old = os.environ.get("SEQ2SEQ_RNN_BACKEND")
+        os.environ["SEQ2SEQ_RNN_BACKEND"] = backend
+        backend_select.resolve_rnn_backend.cache_clear()
+        try:
+            o = dec.decoder_apply(
+                p, cfg, feats, lengths, T, ground_truth_out=gt,
+                ground_truth_offset=off, key=jax.random.PRNGKey(5),
+                deterministic=False, emission_mode="sample",
+                loss_only=loss_only)
+            if reduce:
+                return 0.37 * o.emission_loss + 0.61 * o.offset_loss
+            return o
+        finally:
+            if old is None:
+                del os.environ["SEQ2SEQ_RNN_BACKEND"]
+            else:
+                os.environ["SEQ2SEQ_RNN_BACKEND"] = old
+            backend_select.resolve_rnn_backend.cache_clear()
+
+    scan_o = run(params, "scan", False)
+    fused_o = run(params, "pallas", True)
+    assert fused_o.out is None and fused_o.offset_weights is None
+    np.testing.assert_allclose(float(fused_o.emission_loss),
+                               float(scan_o.emission_loss), rtol=1e-4)
+    np.testing.assert_allclose(float(fused_o.offset_loss),
+                               float(scan_o.offset_loss), rtol=1e-4)
+
+    g_scan = jax.grad(lambda p: run(p, "scan", False, True))(params)
+    g_fused = jax.grad(lambda p: run(p, "pallas", True, True))(params)
+    flat_s, _ = jax.tree_util.tree_flatten(g_scan)
+    flat_f, _ = jax.tree_util.tree_flatten(g_fused)
+    assert len(flat_s) == len(flat_f)
+    for a, b in zip(flat_s, flat_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)
