@@ -11,6 +11,7 @@ cooldown 0) including the state-dict keys, and the
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 from typing import Any
@@ -18,13 +19,21 @@ from typing import Any
 import optax
 
 
+@functools.lru_cache(maxsize=None)
 def make_optimizer(learning_rate: float, momentum: float,
                    gradient_clip: float) -> optax.GradientTransformation:
     """Global-norm clip -> SGD(momentum), matching
     torch.nn.utils.clip_grad_norm_ + torch.optim.SGD
     (learning.py:161-163,251-256).  The learning rate is injected as a
     mutable hyperparameter so the plateau scheduler can change it without
-    recompiling."""
+    recompiling.
+
+    Memoized: the returned transform is pure (all state lives in
+    opt_state), and the learner passes it as a STATIC jit argument —
+    returning a fresh closure tuple per Learner would miss the in-process
+    jit cache and recompile the whole train step on every resume /
+    re-instantiation (the dominant cost of the multichip dryrun's
+    back-to-back CLI invocations)."""
     return optax.inject_hyperparams(
         _clipped_sgd, static_args=("momentum", "gradient_clip"))(
         learning_rate=learning_rate, momentum=momentum,
