@@ -618,6 +618,17 @@ def _bce_with_logits_sum(logits: jax.Array, targets: jax.Array,
     return jnp.sum(per * mask)
 
 
+def _fused_loss_cells() -> tuple:
+    """Cell types admitted to the fully fused in-kernel loss path beyond
+    LSTM.  The GRU/Elman fused-loss kernels pass interpret-mode parity but
+    their HARDWARE grad-parity evidence is still pending (round-3 tunnel
+    outage), so they default to the stream-kernel path until
+    scripts/decoder_kernel_parity.py records green rows on the v5e
+    (PROFILE_r04).  Opt in early with SEQ2SEQ_FUSED_CELLS=GRU,RNN."""
+    raw = os.environ.get("SEQ2SEQ_FUSED_CELLS", "")
+    return tuple(c.strip() for c in raw.split(",") if c.strip())
+
+
 def decoder_apply(params: dict, cfg: DecoderConfig, features: jax.Array,
                   lengths: jax.Array, total_steps: int, *,
                   speaker: jax.Array | None = None,
@@ -659,7 +670,7 @@ def decoder_apply(params: dict, cfg: DecoderConfig, features: jax.Array,
         key_f = jax.random.fold_in(key, 0)
         if (loss_only and ground_truth_out is not None
                 and (cfg.rnn_type == "LSTM"
-                     or (cfg.rnn_type in ("GRU", "RNN")
+                     or (cfg.rnn_type in _fused_loss_cells()
                          and ground_truth_offset is not None))
                 and emission_mode == "sample"
                 and (deterministic or cfg.input_dropout <= 0.0)

@@ -582,13 +582,17 @@ def test_fused_nll_only_path_without_offsets():
                                    rtol=5e-4, atol=5e-5)
 
 
-def test_gru_fused_losses_match_scan():
+def test_gru_fused_losses_match_scan(monkeypatch):
     """GRU loss_only full fusion (gru_decoder_loop_fused_losses):
     losses and parameter gradients must match the scan path, with the
     length-derived offset contract."""
     import os
 
     from seq2seq_abcd_vae_tpu.utils import backend_select
+
+    # GRU/RNN fused-loss dispatch is opt-in until hardware grad parity is
+    # recorded (models/decoder.py:_fused_loss_cells)
+    monkeypatch.setenv("SEQ2SEQ_FUSED_CELLS", "GRU,RNN")
 
     cfg, params, _, _, _, _ = setup_gru()
     rng = np.random.default_rng(24)
@@ -637,12 +641,24 @@ def test_gru_fused_losses_match_scan():
                                    rtol=5e-4, atol=5e-5)
 
 
-def test_rnn_fused_losses_match_scan():
+def test_fused_cells_gate(monkeypatch):
+    """GRU/Elman fused-loss dispatch is opt-in (hardware evidence
+    pending): default admits nothing beyond LSTM; the env allowlist
+    parses a comma list."""
+    monkeypatch.delenv("SEQ2SEQ_FUSED_CELLS", raising=False)
+    assert dec._fused_loss_cells() == ()
+    monkeypatch.setenv("SEQ2SEQ_FUSED_CELLS", "GRU, RNN")
+    assert dec._fused_loss_cells() == ("GRU", "RNN")
+
+
+def test_rnn_fused_losses_match_scan(monkeypatch):
     """Elman loss_only full fusion (rnn_decoder_loop_fused_losses):
     losses and parameter gradients must match the scan path."""
     import os
 
     from seq2seq_abcd_vae_tpu.utils import backend_select
+
+    monkeypatch.setenv("SEQ2SEQ_FUSED_CELLS", "GRU,RNN")
 
     cfg = DecoderConfig(output_size=F, rnn_hidden_size=H,
                         mlp_hidden_size=M, feature_size=4,
