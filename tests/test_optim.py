@@ -36,6 +36,72 @@ def test_sgd_with_clip_matches_torch(rng):
                                tw.detach().numpy(), rtol=1e-5, atol=1e-6)
 
 
+def test_sparse_embedding_sgd_parity(rng):
+    """Dense speaker-embedding updates match the reference's
+    `torch.nn.Embedding(..., sparse=True)` + SGD (model.py:118) at ANY
+    momentum, not just the default 0.0.
+
+    torch's SGD densifies the momentum buffer on the first step
+    (`buf = d_p.clone()` of a sparse grad, then dense `mul_/add_`), so
+    sparse and dense training produce fp-identical weights — measured
+    here with a torch sparse-vs-dense oracle pair, then against our
+    optax path with the same gather-sum gradients.  At momentum=0 the
+    match is exact and untouched rows are bit-unchanged (pinned below in
+    test_untouched_embedding_rows_momentum0)."""
+    lr, mom, clip = 0.3, 0.9, 1e9  # clip inert: isolate SGD semantics
+    n, d = 6, 4
+    w0 = rng.normal(size=(n, d)).astype(np.float32)
+    steps = [(rng.integers(0, n, size=3), rng.normal(size=(3, d))
+              .astype(np.float32)) for _ in range(8)]
+
+    torch_ws = {}
+    for sparse in (True, False):
+        emb = torch.nn.Embedding(n, d, sparse=sparse)
+        with torch.no_grad():
+            emb.weight.copy_(torch.from_numpy(w0))
+        topt = torch.optim.SGD(emb.parameters(), lr=lr, momentum=mom)
+        for idx, coef in steps:
+            (emb(torch.from_numpy(idx)) * torch.from_numpy(coef)).sum() \
+                .backward()
+            topt.step()
+            topt.zero_grad()
+        torch_ws[sparse] = emb.weight.detach().numpy()
+    np.testing.assert_allclose(torch_ws[True], torch_ws[False],
+                               rtol=1e-5, atol=1e-6)
+
+    tx = optim.make_optimizer(lr, mom, clip)
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for idx, coef in steps:
+        g = np.zeros((n, d), np.float32)
+        np.add.at(g, idx, coef)  # gather-sum = dense embedding grad
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params,
+                                        updates)
+    np.testing.assert_allclose(np.asarray(params["w"]), torch_ws[True],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_untouched_embedding_rows_momentum0(rng):
+    """At the reference default momentum=0.0, embedding rows whose
+    speaker does not appear in the batch receive a zero dense gradient
+    and must be BIT-unchanged by the update (sparse-SGD row-skip
+    equivalence)."""
+    w0 = rng.normal(size=(5, 3)).astype(np.float32)
+    g = np.zeros((5, 3), np.float32)
+    g[1] = 1.0
+    g[4] = -2.0
+    tx = optim.make_optimizer(0.5, 0.0, 1e9)
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+    new = np.asarray(jax.tree_util.tree_map(
+        lambda p, u: p + u, params, updates)["w"])
+    untouched = [0, 2, 3]
+    assert (new[untouched] == w0[untouched]).all()
+    assert (new[[1, 4]] != w0[[1, 4]]).all()
+
+
 def test_learning_rate_injection():
     tx = optim.make_optimizer(1.0, 0.0, 10.0)
     params = {"w": jnp.ones(3)}
