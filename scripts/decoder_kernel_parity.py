@@ -91,9 +91,9 @@ def run_cell(rnn_type: str, b: int, t: int, h: int, f: int):
     if rnn_type in ("LSTM", "GRU", "RNN"):
         # the fused in-kernel-loss training path (loss_only=True routes
         # through decoder_loop_fused_losses / gru_...): loss + grads vs
-        # scan.  GRU/RNN fused dispatch is env-gated until this very
-        # probe goes green on hardware (models/decoder.py:
-        # _fused_loss_cells) — the probe must opt in to test it.
+        # scan.  GRU/RNN fused dispatch defaults ON (evidence this probe
+        # produced: PROFILE_r04.json); set the allowlist explicitly so
+        # the probe stays meaningful under any ambient env.
         os.environ["SEQ2SEQ_FUSED_CELLS"] = "GRU,RNN"
         os.environ["SEQ2SEQ_RNN_BACKEND"] = "pallas"
         backend_select.resolve_rnn_backend.cache_clear()

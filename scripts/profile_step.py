@@ -104,7 +104,15 @@ def main():
     ap.add_argument("--bucket", type=int, default=512)
     ap.add_argument("--precision", type=str, default="default")
     ap.add_argument("--stft_method", type=str, default="fft")
+    ap.add_argument("--rnn_type", type=str, default="LSTM",
+                    choices=["LSTM", "GRU", "RNN", "ESN"],
+                    help="cell for BOTH encoder and decoder (the "
+                         "reference's -R flag sets both)")
     ap.add_argument("--ablate", action="store_true")
+    ap.add_argument("--skip_flops", action="store_true",
+                    help="skip XLA cost analysis + the scan-lowering "
+                         "FLOP count (each is an extra full compile at "
+                         "this shape) — for lean A/B timing runs")
     ap.add_argument("--out", type=str, default=None,
                     help="also write the numbers to this JSON file")
     ap.add_argument("--trace", type=str, default=None,
@@ -122,10 +130,10 @@ def main():
     from seq2seq_abcd_vae_tpu.train.learner import (StepStatics, _eval_step,
                                                     _train_step)
 
-    enc = EncoderConfig(65, 256)
+    enc = EncoderConfig(65, 256, rnn_type=args.rnn_type)
     lat = ABCDSamplerConfig(enc.hidden_size_total, 256, 128, 256)
     dec = DecoderConfig(65, 256, 256, 256, num_speakers=2,
-                        speaker_embed_dim=256)
+                        speaker_embed_dim=256, rnn_type=args.rnn_type)
     cfg = vae.ModelConfig(enc, lat, dec)
     params = vae.model_init(jax.random.PRNGKey(0), cfg)
     tx = optim.make_optimizer(1.0, 0.0, 1.0)
@@ -176,15 +184,19 @@ def main():
     # failure used to poison the whole run to scan (round-3 bug)
     from seq2seq_abcd_vae_tpu.utils.backend_select import SELECTOR
     resolved_backend = SELECTOR.current()
-    flops = compiled_flops(
-        _train_step, params, opt_state, audio, nf, spk, key, 512.0, 1.0,
-        statics=statics, no_sample=False, bucket_frames=t, tx=tx)
-    if resolved_backend == "scan":
-        flops_model = flops
+    if args.skip_flops:
+        flops = flops_model = None
     else:
-        flops_model = scan_backend_flops(
-            _train_step, statics, params, opt_state, audio, nf, spk, key,
-            512.0, 1.0, no_sample=False, bucket_frames=t, tx=tx) or flops
+        flops = compiled_flops(
+            _train_step, params, opt_state, audio, nf, spk, key, 512.0,
+            1.0, statics=statics, no_sample=False, bucket_frames=t, tx=tx)
+        if resolved_backend == "scan":
+            flops_model = flops
+        else:
+            flops_model = scan_backend_flops(
+                _train_step, statics, params, opt_state, audio, nf, spk,
+                key, 512.0, 1.0, no_sample=False, bucket_frames=t,
+                tx=tx) or flops
     t0 = time.perf_counter()
     out = tr()
     wait(out)
@@ -209,6 +221,9 @@ def main():
     report = {
         "device": jax.devices()[0].device_kind,
         "batch": b, "bucket": t, "precision": args.precision,
+        "rnn_type": args.rnn_type,
+        "nll_fusion": os.environ.get("SEQ2SEQ_NLL_FUSION", "1"),
+        "fused_cells": os.environ.get("SEQ2SEQ_FUSED_CELLS", ""),
         "compile_s": round(compile_s, 2),
         "train_step_ms": round(step_s * 1e3, 3),
         "segments_per_sec": round(b / step_s, 1),

@@ -620,12 +620,14 @@ def _bce_with_logits_sum(logits: jax.Array, targets: jax.Array,
 
 def _fused_loss_cells() -> tuple:
     """Cell types admitted to the fully fused in-kernel loss path beyond
-    LSTM.  The GRU/Elman fused-loss kernels pass interpret-mode parity but
-    their HARDWARE grad-parity evidence is still pending (round-3 tunnel
-    outage), so they default to the stream-kernel path until
-    scripts/decoder_kernel_parity.py records green rows on the v5e
-    (PROFILE_r04).  Opt in early with SEQ2SEQ_FUSED_CELLS=GRU,RNN."""
-    raw = os.environ.get("SEQ2SEQ_FUSED_CELLS", "")
+    LSTM.  GRU and Elman default ON: on-hardware grad parity and a
+    same-session stream/fused A/B are recorded in PROFILE_r04.json
+    (v5e, 2026-08-19: GRU fused_grad_rel 6.5e-7, fetch-synced wall
+    45.0->30.3 ms; Elman 2.4e-6, 37.6->23.1 ms at B=512 T=512 —
+    scripts/decoder_kernel_parity.py + scripts/fused_loss_ab.py).
+    Narrow with SEQ2SEQ_FUSED_CELLS="" (empty) for stream-path A/B
+    probes."""
+    raw = os.environ.get("SEQ2SEQ_FUSED_CELLS", "GRU,RNN")
     return tuple(c.strip() for c in raw.split(",") if c.strip())
 
 

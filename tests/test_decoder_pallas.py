@@ -642,10 +642,12 @@ def test_gru_fused_losses_match_scan(monkeypatch):
 
 
 def test_fused_cells_gate(monkeypatch):
-    """GRU/Elman fused-loss dispatch is opt-in (hardware evidence
-    pending): default admits nothing beyond LSTM; the env allowlist
-    parses a comma list."""
+    """GRU/Elman fused-loss dispatch defaults ON (hardware parity + A/B
+    evidence in PROFILE_r04.json); the env allowlist narrows it (empty =
+    stream path) and parses a comma list."""
     monkeypatch.delenv("SEQ2SEQ_FUSED_CELLS", raising=False)
+    assert dec._fused_loss_cells() == ("GRU", "RNN")
+    monkeypatch.setenv("SEQ2SEQ_FUSED_CELLS", "")
     assert dec._fused_loss_cells() == ()
     monkeypatch.setenv("SEQ2SEQ_FUSED_CELLS", "GRU, RNN")
     assert dec._fused_loss_cells() == ("GRU", "RNN")
