@@ -330,10 +330,18 @@ def main():
     enc_csv = os.path.join(work, "probs.csv")
     enc.encode_dataset(full, enc_csv, fe, 2.0 ** -15, 11.0, mode="probs",
                        batch_size=batch_size)  # warmup (compiles buckets)
-    t0 = time.perf_counter()
-    enc.encode_dataset(full, enc_csv, fe, 2.0 ** -15, 11.0, mode="probs",
-                       batch_size=batch_size)
-    encode_sps = len(full) / (time.perf_counter() - t0)
+    # median of 3 timed passes: at this corpus size one pass is ~1 s, so
+    # a single row is dominated by whichever RTT/bandwidth excursion the
+    # tunnel had that second (round-3 captured 3.3k vs a 5.3k session
+    # median for identical code) — the median is the honest statistic
+    encode_rounds = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        enc.encode_dataset(full, enc_csv, fe, 2.0 ** -15, 11.0,
+                           mode="probs", batch_size=batch_size)
+        encode_rounds.append(
+            round(len(full) / (time.perf_counter() - t0), 2))
+    encode_sps = statistics.median(encode_rounds)
 
     # ------------------------------------------------------------------
     stats_loader = DataLoader(train, fe, batch_size=batch_size,
@@ -358,6 +366,7 @@ def main():
         "headline_backend": headline_backend,
         "n_rounds": max(1, n_rounds) if len(backends) > 1 else 0,
         "encode_segments_per_sec": round(encode_sps, 2),
+        "encode_rounds": encode_rounds,
         "workload": os.environ.get("BENCH_WORKLOAD", "synthetic"),
         "num_segments": num_segments,
         "stft_method": stft_method,

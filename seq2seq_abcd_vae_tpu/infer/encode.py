@@ -21,6 +21,7 @@ import functools
 import os
 import queue
 import threading
+import time as _time
 from typing import Optional
 
 import jax
@@ -103,6 +104,41 @@ def _format_rows(ixs, values: np.ndarray, suffix: dict,
              for ix in ixs], dtype="S")
         body = np.char.add(body, np.tile(sfx, num_vars))
     return b"\n".join(body.tolist()) + b"\n"
+
+
+#: adaptive chunking targets per-fetch payload time ~= this multiple of
+#: the link's fixed round-trip: big enough that the RTT is amortized to
+#: <= 1/(1+_RTT_AMORT) of fetch time, small enough that the prefetch
+#: pipeline stays fine-grained (the consumer formats chunk n-1 while
+#: chunk n fetches; one giant chunk would serialize the tail).
+_RTT_AMORT = 4.0
+
+
+class _LinkModel:
+    """Online estimate of the tunnel's fixed round-trip + bandwidth,
+    re-targeting the fetch chunk size as the link drifts (this tunnel
+    swings ~1-35 MB/s between sessions and minute-to-minute).
+
+    Fetch time is modeled as ``rtt + bytes/bw``; ``rtt`` starts at the
+    observed tunnel floor and only ratchets down (a fetch can never beat
+    the true RTT), ``bw`` is an EWMA so drift is tracked without
+    thrashing on single outliers."""
+
+    def __init__(self, chunk: int, adaptive: bool):
+        self.rtt = 0.35
+        self.bw: float | None = None
+        self.chunk = chunk
+        self.adaptive = adaptive
+
+    def observe(self, dt: float, nbytes: int, nbatches: int) -> None:
+        if not self.adaptive:
+            return
+        self.rtt = min(self.rtt, dt)
+        bw = nbytes / max(dt - self.rtt, 1e-3)
+        self.bw = bw if self.bw is None else 0.5 * self.bw + 0.5 * bw
+        per_batch = max(nbytes // max(nbatches, 1), 1)
+        target = _RTT_AMORT * self.rtt * self.bw
+        self.chunk = int(min(max(round(target / per_batch), 2), 256))
 
 
 def _prefetch(gen, depth: int = 64):
@@ -209,13 +245,30 @@ class Encoder(Learner):
         return np.asarray(out)[:n]
 
     def _pipelined(self, dataloader, statics: StepStatics, mode: str,
-                   chunk: int = 32):
+                   chunk: int | None = None):
         """Yield (batch, host values) with chunked fetches: every batch
         is dispatched asynchronously, outputs are concatenated ON DEVICE
         per chunk, and one host fetch downloads the whole chunk — each
         fetch pays the tunnel's fixed round-trip (~0.3-0.5 s observed),
         so per-batch fetches bound encode at ~2-3 batches/s regardless
-        of compute."""
+        of compute.
+
+        The chunk size is DRIFT-ADAPTIVE by default (this tunnel's fetch
+        bandwidth swings ~1-35 MB/s between sessions): each flush
+        measures its own elapsed time and payload, maintains EWMA
+        estimates of the link's fixed round-trip and bandwidth, and
+        re-targets the next chunk so the payload costs about
+        ``_RTT_AMORT``x the round-trip — big enough that the fixed RTT
+        is amortized, small enough that the prefetch pipeline keeps the
+        consumer (CSV formatting) overlapped with the next fetch.  A
+        fixed ``chunk`` argument or ``SEQ2SEQ_ENCODE_CHUNK`` disables
+        adaptation (0 = adaptive)."""
+        env_chunk = int(os.environ.get("SEQ2SEQ_ENCODE_CHUNK", "0"))
+        if chunk is None and env_chunk > 0:
+            chunk = env_chunk
+        adaptive = chunk is None
+        if adaptive:
+            chunk = 8  # opening guess; re-targeted after each flush
         cache = self._cache_for(dataloader)
         if cache is not None:
             dataloader.skip_audio = True
@@ -227,20 +280,25 @@ class Encoder(Learner):
 
         batches: list = []
         outs: list = []
+        link = _LinkModel(chunk, adaptive)
 
         def flush():
             if not batches:
                 return
+            t0 = _time.perf_counter()
             if mode == "params":
                 cats = tuple(
                     np.asarray(jnp.concatenate([o[j] for o in outs], 0)
                                if len(outs) > 1 else outs[0][j])
                     for j in range(len(outs[0])))
                 rows_of = [o[0].shape[0] for o in outs]
+                nbytes = sum(c.nbytes for c in cats)
             else:
                 cats = np.asarray(jnp.concatenate(outs, 0)
                                   if len(outs) > 1 else outs[0])
                 rows_of = [o.shape[0] for o in outs]
+                nbytes = cats.nbytes
+            link.observe(_time.perf_counter() - t0, nbytes, len(batches))
             off = 0
             for b, rows in zip(batches, rows_of):
                 n = b.num_real
@@ -255,7 +313,7 @@ class Encoder(Learner):
         for batch, pos in stream:
             outs.append(self._dispatch(batch, statics, mode, cache, pos))
             batches.append(batch)
-            if len(batches) >= chunk:
+            if len(batches) >= link.chunk:
                 yield from flush()
         yield from flush()
 

@@ -182,6 +182,68 @@ def test_resume_via_cli(abcd_run, toy):
     assert "To be restarted from the beginning of epoch #: 3" in log
 
 
+def test_encode_link_model_adaptive_chunking():
+    """The encode fetch-chunk re-targets to the drifting link: fast
+    links grow the chunk (amortize the fixed RTT over more batches),
+    slow links shrink it (keep the prefetch pipeline fine-grained);
+    bounds [2, 256] hold; a fixed chunk never adapts."""
+    from seq2seq_abcd_vae_tpu.infer.encode import _RTT_AMORT, _LinkModel
+
+    per_batch = 256 * 1024  # 512x128 f32 probs
+
+    # fast link: 30 ms RTT, ~200 MB/s -> chunk should grow well past 8
+    m = _LinkModel(chunk=8, adaptive=True)
+    for _ in range(4):
+        nbytes = m.chunk * per_batch
+        m.observe(0.03 + nbytes / 200e6, nbytes, m.chunk)
+    assert m.chunk > 8
+    # the model's own target: payload ~= _RTT_AMORT * rtt * bw
+    assert m.chunk * per_batch == pytest.approx(
+        _RTT_AMORT * m.rtt * m.bw, rel=0.5)
+
+    # slow link: 0.5 s RTT floor already seen, ~1 MB/s -> chunk shrinks
+    s = _LinkModel(chunk=64, adaptive=True)
+    for _ in range(4):
+        nbytes = s.chunk * per_batch
+        s.observe(0.3 + nbytes / 1e6, nbytes, s.chunk)
+    assert s.chunk < 64
+
+    # bounds
+    lo = _LinkModel(chunk=8, adaptive=True)
+    lo.observe(10.0, 8, 8)  # absurdly slow tiny fetch
+    assert lo.chunk >= 2
+    hi = _LinkModel(chunk=8, adaptive=True)
+    hi.observe(0.001, 8 * per_batch, 8)  # absurdly fast
+    assert hi.chunk <= 256
+
+    # fixed chunk: observe() is a no-op
+    f = _LinkModel(chunk=32, adaptive=False)
+    f.observe(0.03, 32 * per_batch, 32)
+    assert f.chunk == 32
+
+
+def test_encode_pipelined_small_chunk_yields_every_batch(abcd_run, toy):
+    """_pipelined with a tiny fixed chunk (forcing multiple flushes)
+    yields every batch exactly once, in order, with per-batch rows."""
+    from seq2seq_abcd_vae_tpu.data.annotations import AnnotationParser
+    from seq2seq_abcd_vae_tpu.data.batching import DataLoader, FrontendSpec
+    from seq2seq_abcd_vae_tpu.infer.encode import Encoder
+
+    enc = Encoder(str(abcd_run / "checkpoint.pt"))
+    parser = AnnotationParser(str(toy), str(toy / "ann.csv"))
+    ds = parser.get_data()
+    fe = FrontendSpec(128, 64)
+    statics = enc._statics(fe, 2.0 ** -15, 11.0)
+    dl = DataLoader(ds, fe, batch_size=3, pad_to_batch_size=False)
+    expected = [list(b.ixs) for b in DataLoader(
+        ds, fe, batch_size=3, pad_to_batch_size=False)]
+    seen = []
+    for batch, values in enc._pipelined(dl, statics, "probs", chunk=2):
+        assert values.shape[0] == batch.num_real
+        seen.append(list(batch.ixs))
+    assert seen == expected
+
+
 def test_encode_csv_bytes_match_pandas_chain(abcd_run, toy, tmp_path):
     """The direct-writer CSV must be byte-identical to the reference's
     DataFrame.melt(+merge).to_csv formulation (encode.py:46-55)."""
