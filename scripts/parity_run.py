@@ -115,7 +115,7 @@ def run_reference(wav_root, ann, args, work):
     import learning as ref_learning
 
     save_dir = os.path.join(work, "ref-run")
-    os.makedirs(save_dir)
+    os.makedirs(save_dir, exist_ok=True)
     parser = data_utils.Data_Parser(wav_root, ann)
     fs = parser.get_sample_freq()
     frame, step = int(0.008 * fs), int(0.004 * fs)
@@ -304,9 +304,21 @@ def main():
     ap.add_argument("--skip_reference", action="store_true")
     ap.add_argument("--skip_ours", action="store_true")
     ap.add_argument("--out_name", type=str, default="PARITY.json")
+    ap.add_argument("--work_dir", type=str, default=None,
+                    help="persistent working directory; kept on exit. If "
+                         "it already holds a ref-run/checkpoint.pt the "
+                         "reference Learner auto-resumes from it "
+                         "(learning.py retrieval path), so a timed-out "
+                         "pub-scale run can be continued instead of "
+                         "restarted. The corpus is regenerated "
+                         "deterministically from --corpus_seed.")
     args = ap.parse_args()
 
-    work = tempfile.mkdtemp(prefix="parity-")
+    if args.work_dir:
+        work = args.work_dir
+        os.makedirs(work, exist_ok=True)
+    else:
+        work = tempfile.mkdtemp(prefix="parity-")
     wav_root, ann, truth = make_workload(args, work)
 
     payload = {"config": vars(args)}
@@ -352,7 +364,8 @@ def main():
     summary = payload.get("comparison") or {
         k: v for k, v in payload.items() if k != "config"}
     print(json.dumps(summary, indent=1))
-    shutil.rmtree(work, ignore_errors=True)
+    if not args.work_dir:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":
