@@ -42,3 +42,50 @@ assert len(jax.devices()) == 8
 @pytest.fixture
 def rng():
     return np.random.default_rng(1111)
+
+
+# ---------------------------------------------------------------------
+# Quick lane: `pytest -m quick` gives sub-3-minute signal on one core
+# (the full suite is ~15 min and two capabilities — multihost, serve —
+# only run there).  Modules are whole-sale members: every test in a
+# listed module is quick-marked, so the lane stays maintainable without
+# per-test annotations.  Keep the lane's total under ~3 min when adding
+# modules (timings: PROFILE_r04.json quick_lane entry).
+QUICK_MODULES = {
+    "test_distributions",      # torch-oracle math, no training
+    "test_optim",              # SGD/plateau/sparse-embed oracles
+    "test_abcd",               # sampler math incl. KL oracles
+    "test_stft",               # frontend oracles
+    "test_backend_select",     # dispatch-probe logic
+    "test_checkpoint_format",  # zip format + migration
+    "test_data_pipeline",      # parser/loader/bucketing
+    "test_device_cache",
+    "test_encoder",            # packed-RNN torch oracles
+    "test_decoder",            # decoder vs reference semantics
+    "test_native",             # C++ wav loader
+    "test_scripts",            # corpus synth + small tools
+}
+
+# Individually slow tests inside quick modules (full-Learner lifecycles
+# that belong to the heavy lane in spirit): excluding these three cuts
+# the lane 7m41s -> <3 min on one core (durations: /tmp quick run,
+# 2026-08-19: 219.8s + 72.8s + 32.0s of 429s total).
+QUICK_EXCLUDE = {
+    "test_learner_bit_parity_cache_vs_streaming",
+    "test_learner_resumes_from_v1_pickle_checkpoint",
+    "test_batched_equals_per_sequence",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "quick: fast-lane test (<3 min total on one core; run with "
+        "`pytest -m quick`)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in QUICK_MODULES and item.originalname not in QUICK_EXCLUDE:
+            item.add_marker(pytest.mark.quick)
