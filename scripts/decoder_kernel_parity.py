@@ -111,6 +111,30 @@ def run_cell(rnn_type: str, b: int, t: int, h: int, f: int):
         diffs["fused_grad_rel"] = fmax
         ok = ok and diffs["fused_loss"] < 1e-4 and fmax < 2e-3
 
+    if rnn_type == "LSTM":
+        # bf16 carry streams (SEQ2SEQ_STREAM_DTYPE=bf16): the forward
+        # loss must be BIT-unchanged (streams are backward-recompute
+        # inputs only); gradients see bf16 rounding of the recomputed
+        # carries — report the measured deviation vs the f32-stream
+        # fused grads and gate at the bf16 scale.
+        os.environ["SEQ2SEQ_STREAM_DTYPE"] = "bf16"
+        try:
+            vg = jax.jit(jax.value_and_grad(
+                lambda p: losses(p, "pallas", loss_only=True)[0]))
+            loss_b, grads_b = vg(params)
+            diffs["sdt_loss"] = (abs(float(loss_f) - float(loss_b))
+                                 / (abs(float(loss_f)) + 1e-9))
+            flat_b, _ = jax.tree_util.tree_flatten(
+                jax.tree.map(np.asarray, grads_b))
+            smax = 0.0
+            for (path, a), bb in zip(flat_s, flat_b):
+                scale = float(np.max(np.abs(a))) + 1.0
+                smax = max(smax, float(np.max(np.abs(a - bb))) / scale)
+            diffs["sdt_grad_rel"] = smax
+            ok = ok and diffs["sdt_loss"] < 1e-7 and smax < 5e-2
+        finally:
+            os.environ.pop("SEQ2SEQ_STREAM_DTYPE", None)
+
     if rnn_type == "LSTM" and jax.devices()[0].platform == "tpu":
         lk, kk = kernel_rng_check(params, b, t, h, f)
         diffs["krng_loss"] = lk

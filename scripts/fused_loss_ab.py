@@ -30,10 +30,11 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
 
 
 def run_leg(cell: str, leg: str, batch: int, bucket: int,
-            precision: str) -> dict:
+            precision: str, extra_env: dict | None = None) -> dict:
     env = dict(os.environ)
     env.pop("SEQ2SEQ_FUSED_CELLS", None)
     env.pop("SEQ2SEQ_NLL_FUSION", None)
+    env.pop("SEQ2SEQ_STREAM_DTYPE", None)
     if leg == "fused":
         pass  # fused is the default for all three cells
     else:  # stream
@@ -41,6 +42,7 @@ def run_leg(cell: str, leg: str, batch: int, bucket: int,
             env["SEQ2SEQ_NLL_FUSION"] = "0"
         else:
             env["SEQ2SEQ_FUSED_CELLS"] = ""
+    env.update(extra_env or {})
     out = tempfile.mktemp(suffix=".json")
     cmd = [sys.executable, os.path.join(REPO, "scripts", "profile_step.py"),
            "--batch", str(batch), "--bucket", str(bucket),
@@ -67,24 +69,36 @@ def main():
     ap.add_argument("--precision", type=str, default="default")
     ap.add_argument("--out", type=str,
                     default=os.path.join(REPO, "PROFILE_ab.json"))
+    ap.add_argument("--ab", choices=["fusion", "stream_dtype"],
+                    default="fusion",
+                    help="fusion: stream vs fused-loss kernels. "
+                         "stream_dtype: f32 vs bf16 saved carry streams "
+                         "(SEQ2SEQ_STREAM_DTYPE) on the fused path — "
+                         "B/A/B legs sd_f32 / sd_bf16 / sd_f32b")
     args = ap.parse_args()
 
     results = {}
     if os.path.isfile(args.out):
         results = json.load(open(args.out))
+    legs = (("stream", "stream", {}), ("fused", "fused", {}),
+            ("stream2", "stream", {}))
+    if args.ab == "stream_dtype":
+        legs = (("sd_f32", "fused", {"SEQ2SEQ_STREAM_DTYPE": "f32"}),
+                ("sd_bf16", "fused", {"SEQ2SEQ_STREAM_DTYPE": "bf16"}),
+                ("sd_f32b", "fused", {"SEQ2SEQ_STREAM_DTYPE": "f32"}))
     for cell in args.cells:
-        for leg in ("stream", "fused", "stream2"):
-            real_leg = "stream" if leg == "stream2" else leg
+        for leg, real_leg, extra in legs:
             r = run_leg(cell, real_leg, args.batch, args.bucket,
-                        args.precision)
+                        args.precision, extra)
             results[f"{cell}.{leg}"] = r
             print(json.dumps({"cell": cell, "leg": leg, **r}), flush=True)
             with open(args.out, "w") as f:
                 json.dump(results, f, indent=1)
+        ka, kb, ka2 = (l[0] for l in legs)
         a, b, a2 = (results[f"{cell}.{k}"]["train_step_ms"]
-                    for k in ("stream", "fused", "stream2"))
-        print(json.dumps({"cell": cell, "stream_ms": a, "fused_ms": b,
-                          "stream2_ms": a2,
+                    for k in (ka, kb, ka2))
+        print(json.dumps({"cell": cell, f"{ka}_ms": a, f"{kb}_ms": b,
+                          f"{ka2}_ms": a2,
                           "delta_ms": round(b - (a + a2) / 2, 3)}),
               flush=True)
 

@@ -43,6 +43,7 @@ scripts/pallas_grad_parity.py --decoder.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +54,23 @@ from jax.experimental.pallas import tpu as pltpu
 from .mxu import mxu_dot as _mxu_dot
 from .mxu import mxu_dot_nt as _mxu_dot_nt
 from .mxu import mxu_dot_tn as _mxu_dot_tn
+
+
+def _stream_dtype():
+    """dtype for the LSTM decoder-loop kernels' saved (h, c) streams.
+
+    ``SEQ2SEQ_STREAM_DTYPE=bf16`` stores the forward's per-step carry
+    trajectories — pure backward-recompute inputs, never loss inputs —
+    in bfloat16, halving their HBM traffic (2×(T,B,H): 536 MB/step
+    written fwd + read bwd at the publication shape).  Applies to the
+    stream-emission AND fused-loss LSTM variants.  The forward LOSS is
+    bit-unchanged; gradients see bf16 rounding of the recompute carries.
+    Read at trace time; default f32 keeps exact stream/scan gradient
+    parity.  Hardware A/B + parity: PROFILE_r04.json stream_dtype entry.
+    """
+    return (jnp.bfloat16
+            if os.environ.get("SEQ2SEQ_STREAM_DTYPE", "f32") == "bf16"
+            else jnp.float32)
 
 
 def _step_masks(t, len_ref):
@@ -128,8 +146,8 @@ def _fwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
     h_scr[:] = h
     c_scr[:] = c
     out_ref[0] = h2
-    hs_ref[0] = h
-    cs_ref[0] = c
+    hs_ref[0] = h.astype(hs_ref.dtype)
+    cs_ref[0] = c.astype(cs_ref.dtype)
     mean_ref[0] = mean
     logvar_ref[0] = logvar
 
@@ -166,9 +184,9 @@ def _bwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
 
     first_step = s == nt - 1  # t == 0
     h_prev = jnp.where(first_step, h0_ref[:, :],
-                       hprev_ref[0]).astype(jnp.float32)
+                       hprev_ref[0].astype(jnp.float32))
     c_prev = jnp.where(first_step, c0_ref[:, :],
-                       cprev_ref[0]).astype(jnp.float32)
+                       cprev_ref[0].astype(jnp.float32))
     mt, pmt = _step_masks(nt - 1 - s, len_ref)
     eps = noise_ref[0]
     f_dim = w2m_ref.shape[1]
@@ -302,8 +320,8 @@ def _fwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
                    stream3((1, b, hidden)), pos((1, b, f)),
                    pos((1, b, f))],
         out_shape=[jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
-                   jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
-                   jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+                   jax.ShapeDtypeStruct((t, b, hidden), _stream_dtype()),
+                   jax.ShapeDtypeStruct((t, b, hidden), _stream_dtype()),
                    jax.ShapeDtypeStruct((t, b, f), jnp.float32),
                    jax.ShapeDtypeStruct((t, b, f), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32),
@@ -1772,8 +1790,8 @@ def _fused_fwd_kernel(*refs, hidden: int, m: int, with_offset: bool,
     h_scr[:] = h
     c_scr[:] = c
     out_ref[0] = h2
-    hs_ref[0] = h
-    cs_ref[0] = c
+    hs_ref[0] = h.astype(hs_ref.dtype)
+    cs_ref[0] = c.astype(cs_ref.dtype)
 
 
 def _fused_bwd_kernel(*refs, hidden: int, m: int, with_offset: bool,
@@ -1822,9 +1840,9 @@ def _fused_bwd_kernel(*refs, hidden: int, m: int, with_offset: bool,
 
     first_step = s == nt - 1  # t == 0
     h_prev = jnp.where(first_step, h0_ref[:, :],
-                       hprev_ref[0]).astype(jnp.float32)
+                       hprev_ref[0].astype(jnp.float32))
     c_prev = jnp.where(first_step, c0_ref[:, :],
-                       cprev_ref[0]).astype(jnp.float32)
+                       cprev_ref[0].astype(jnp.float32))
     t_now = nt - 1 - s
     mt, pmt = _step_masks(t_now, len_ref)
     f_dim = w2m_ref.shape[1]
@@ -1971,8 +1989,8 @@ def _fused_fwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
         out_specs=[out0, stream3((1, b, hidden)),
                    stream3((1, b, hidden)), smem((1, n_sc))],
         out_shape=[out0_shape,
-                   jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
-                   jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+                   jax.ShapeDtypeStruct((t, b, hidden), _stream_dtype()),
+                   jax.ShapeDtypeStruct((t, b, hidden), _stream_dtype()),
                    jax.ShapeDtypeStruct((1, n_sc), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32),
                         pltpu.VMEM((b, hidden), jnp.float32)],

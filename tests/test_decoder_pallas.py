@@ -710,3 +710,44 @@ def test_rnn_fused_losses_match_scan(monkeypatch):
     for a, b in zip(flat_s, flat_f):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_bf16_stream_dtype_contract():
+    """SEQ2SEQ_STREAM_DTYPE=bf16 stores the LSTM kernels' saved (h, c)
+    trajectories in bfloat16.  Contract: the forward losses are
+    BIT-unchanged (the streams are backward-recompute inputs only);
+    gradients deviate only at bf16 rounding scale; default stays f32."""
+    import os
+
+    cfg, params, h0, c0, mask, key = setup()
+    ki = kernel_inputs(cfg, params, h0, c0, mask, key)
+    op = params["offset_predictor"]
+    rng = np.random.default_rng(3)
+    targets = jnp.asarray(
+        rng.normal(size=(T, B, F)).astype(np.float32))
+
+    def loss(w_cat, w_ih):
+        out_last, nll, bce = decoder_pallas.decoder_loop_fused_losses(
+            ki["noise"], ki["lengths"], w_cat, ki["bias"], ki["b1_flat"],
+            ki["w2_mean"], ki["w2_logvar"], ki["b2_flat"], w_ih, targets,
+            op["lin1"]["w"], op["lin1"]["b"].reshape(1, -1),
+            op["lin2"]["w"].reshape(1, -1), op["lin2"]["b"].reshape(1, 1),
+            ki["h0"], ki["c0"], interpret=True)
+        return nll + bce + jnp.sum(out_last)
+
+    res = {}
+    for sd in ("f32", "bf16"):
+        os.environ["SEQ2SEQ_STREAM_DTYPE"] = sd
+        try:
+            l, g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))(
+                ki["w_cat"], ki["w_ih"])
+        finally:
+            del os.environ["SEQ2SEQ_STREAM_DTYPE"]
+        res[sd] = (float(l), np.asarray(g[0]), np.asarray(g[1]))
+    assert decoder_pallas._stream_dtype() == jnp.float32  # default
+    assert res["f32"][0] == res["bf16"][0]  # fwd loss bit-equal
+    for i in (1, 2):
+        a, b = res["f32"][i], res["bf16"][i]
+        assert np.isfinite(b).all()
+        rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+        assert 0 < rel < 5e-2  # bf16 rounding scale, and actually bf16
