@@ -57,13 +57,14 @@ from .mxu import mxu_dot_tn as _mxu_dot_tn
 
 
 def _stream_dtype():
-    """dtype for the LSTM decoder-loop kernels' saved (h, c) streams.
+    """dtype for the decoder-loop kernels' saved carry streams.
 
     ``SEQ2SEQ_STREAM_DTYPE=bf16`` stores the forward's per-step carry
     trajectories — pure backward-recompute inputs, never loss inputs —
-    in bfloat16, halving their HBM traffic (2×(T,B,H): 536 MB/step
-    written fwd + read bwd at the publication shape).  Applies to the
-    stream-emission AND fused-loss LSTM variants.  The forward LOSS is
+    in bfloat16, halving their HBM traffic (LSTM: 2×(T,B,H) hs+cs =
+    536 MB/step written fwd + read bwd at the publication shape;
+    GRU/Elman: one (T,B,H) hs stream).  Applies to the stream-emission
+    AND fused-loss variants of all three cells.  The forward LOSS is
     bit-unchanged; gradients see bf16 rounding of the recompute carries.
     Read at trace time; default f32 keeps exact stream/scan gradient
     parity.  Hardware A/B + parity: PROFILE_r04.json stream_dtype entry.
@@ -468,7 +469,7 @@ def _gru_fwd_kernel(noise_ref, len_ref, wcat_ref, bih_ref,
     h = jnp.where(mt > 0, h2, h)
     h_scr[:] = h
     out_ref[0] = h2
-    hs_ref[0] = h
+    hs_ref[0] = h.astype(hs_ref.dtype)
 
 
 def _gru_bwd_kernel(noise_ref, len_ref, wcat_ref, bih_ref,
@@ -592,7 +593,8 @@ def _gru_fwd_call(noise, lengths_f, wcat, bih, bhh, b1, w2m, w2v, b2,
         in_specs=ins + [res((b, hidden))],
         out_specs=[stream3((1, b, hidden)), stream3((1, b, hidden))],
         out_shape=[jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
-                   jax.ShapeDtypeStruct((t, b, hidden), jnp.float32)],
+                   jax.ShapeDtypeStruct((t, b, hidden),
+                                        _stream_dtype())],
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -608,7 +610,8 @@ def _gru_bwd_call(noise, lengths_f, wcat, bih, bhh, b1, w2m, w2v, b2,
     g_all = wcat.shape[1]
     m = (g_all - 3 * hidden) // 2
     ins, stream3, res = _gru_specs(b, f, hidden, m, g_all)
-    h_prev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
+    h_prev = jnp.concatenate([h0[None].astype(hs.dtype), hs[:-1]],
+                             axis=0)
     rev3 = lambda shp: pl.BlockSpec(shp, lambda i: (t - 1 - i, 0, 0),
                                     memory_space=pltpu.VMEM)
     shift3 = lambda shp: pl.BlockSpec(
@@ -768,7 +771,7 @@ def _gru_floss_fwd_kernel(noise_ref, len_ref, wcat_ref, bih_ref,
     h = jnp.where(mt > 0, h2, h)
     h_scr[:] = h
     out_ref[0] = h2
-    hs_ref[0] = h
+    hs_ref[0] = h.astype(hs_ref.dtype)
 
 
 def _gru_floss_bwd_kernel(noise_ref, len_ref, wcat_ref, bih_ref,
@@ -919,7 +922,8 @@ def _gru_floss_fwd_call(noise, lengths_f, wcat, bih, bhh, b1, w2m, w2v,
         out_specs=[res((1, b, hidden)), stream3((1, b, hidden)),
                    smem((1, 2))],
         out_shape=[jax.ShapeDtypeStruct((1, b, hidden), jnp.float32),
-                   jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+                   jax.ShapeDtypeStruct((t, b, hidden),
+                                        _stream_dtype()),
                    jax.ShapeDtypeStruct((1, 2), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -941,7 +945,8 @@ def _gru_floss_bwd_call(noise, lengths_f, wcat, bih, bhh, b1, w2m, w2v,
     wo1, bo1, wo2, bo2 = offset_params
     mo = wo1.shape[1]
     ins, stream3, res = _gru_specs(b, f, hidden, m, g_all)
-    h_prev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
+    h_prev = jnp.concatenate([h0[None].astype(hs.dtype), hs[:-1]],
+                             axis=0)
     rev3 = lambda shp: pl.BlockSpec(shp, lambda i: (t - 1 - i, 0, 0),
                                     memory_space=pltpu.VMEM)
     shift3 = lambda shp: pl.BlockSpec(
@@ -1090,7 +1095,7 @@ def _rnn_fwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
     h = jnp.where(mt > 0, h2, h)
     h_scr[:] = h
     out_ref[0] = h2
-    hs_ref[0] = h
+    hs_ref[0] = h.astype(hs_ref.dtype)
 
 
 def _rnn_bwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
@@ -1198,7 +1203,8 @@ def _rnn_fwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
         in_specs=ins + [res((b, hidden))],
         out_specs=[stream3((1, b, hidden)), stream3((1, b, hidden))],
         out_shape=[jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
-                   jax.ShapeDtypeStruct((t, b, hidden), jnp.float32)],
+                   jax.ShapeDtypeStruct((t, b, hidden),
+                                        _stream_dtype())],
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -1214,7 +1220,8 @@ def _rnn_bwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
     g_all = wcat.shape[1]
     m = (g_all - hidden) // 2
     ins, stream3, res = _rnn_specs(b, f, hidden, m, g_all)
-    h_prev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
+    h_prev = jnp.concatenate([h0[None].astype(hs.dtype), hs[:-1]],
+                             axis=0)
     rev3 = lambda shp: pl.BlockSpec(shp, lambda i: (t - 1 - i, 0, 0),
                                     memory_space=pltpu.VMEM)
     shift3 = lambda shp: pl.BlockSpec(
@@ -1362,7 +1369,7 @@ def _rnn_floss_fwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
     h = jnp.where(mt > 0, h2, h)
     h_scr[:] = h
     out_ref[0] = h2
-    hs_ref[0] = h
+    hs_ref[0] = h.astype(hs_ref.dtype)
 
 
 def _rnn_floss_bwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
@@ -1496,7 +1503,8 @@ def _rnn_floss_fwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
         out_specs=[res((1, b, hidden)), stream3((1, b, hidden)),
                    smem((1, 2))],
         out_shape=[jax.ShapeDtypeStruct((1, b, hidden), jnp.float32),
-                   jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+                   jax.ShapeDtypeStruct((t, b, hidden),
+                                        _stream_dtype()),
                    jax.ShapeDtypeStruct((1, 2), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -1518,7 +1526,8 @@ def _rnn_floss_bwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
     wo1, bo1, wo2, bo2 = offset_params
     mo = wo1.shape[1]
     ins, stream3, res = _rnn_specs(b, f, hidden, m, g_all)
-    h_prev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
+    h_prev = jnp.concatenate([h0[None].astype(hs.dtype), hs[:-1]],
+                             axis=0)
     rev3 = lambda shp: pl.BlockSpec(shp, lambda i: (t - 1 - i, 0, 0),
                                     memory_space=pltpu.VMEM)
     shift3 = lambda shp: pl.BlockSpec(

@@ -713,41 +713,61 @@ def test_rnn_fused_losses_match_scan(monkeypatch):
 
 
 def test_bf16_stream_dtype_contract():
-    """SEQ2SEQ_STREAM_DTYPE=bf16 stores the LSTM kernels' saved (h, c)
-    trajectories in bfloat16.  Contract: the forward losses are
-    BIT-unchanged (the streams are backward-recompute inputs only);
-    gradients deviate only at bf16 rounding scale; default stays f32."""
+    """SEQ2SEQ_STREAM_DTYPE=bf16 stores the decoder-loop kernels' saved
+    carry trajectories in bfloat16 (all three cells, fused-loss path).
+    Contract: the forward losses are BIT-unchanged (the streams are
+    backward-recompute inputs only); gradients deviate only at bf16
+    rounding scale; default stays f32."""
     import os
 
-    cfg, params, h0, c0, mask, key = setup()
-    ki = kernel_inputs(cfg, params, h0, c0, mask, key)
-    op = params["offset_predictor"]
-    rng = np.random.default_rng(3)
-    targets = jnp.asarray(
-        rng.normal(size=(T, B, F)).astype(np.float32))
+    from seq2seq_abcd_vae_tpu.ops import decoder_pallas as dp
 
-    def loss(w_cat, w_ih):
-        out_last, nll, bce = decoder_pallas.decoder_loop_fused_losses(
-            ki["noise"], ki["lengths"], w_cat, ki["bias"], ki["b1_flat"],
-            ki["w2_mean"], ki["w2_logvar"], ki["b2_flat"], w_ih, targets,
-            op["lin1"]["w"], op["lin1"]["b"].reshape(1, -1),
-            op["lin2"]["w"].reshape(1, -1), op["lin2"]["b"].reshape(1, 1),
-            ki["h0"], ki["c0"], interpret=True)
+    b, t, h, f, m = 4, 9, 16, 8, 12
+    rng = np.random.default_rng(5)
+    A = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32)) * 0.3
+    lengths = jnp.asarray(np.r_[t, rng.integers(2, t + 1, b - 1)]
+                          .astype(np.float32))
+    noise, targets, h0, c0 = A(t, b, f), A(t, b, f), A(b, h), A(b, h)
+    wo1, bo1, wo2, bo2 = A(h, m), A(1, m), A(1, m), A(1, 1)
+    b1, w2m, w2v, b2 = A(2 * m), A(m, f), A(m, f), A(2 * f)
+
+    b4, b3g, b3h, b1h = A(4 * h), A(3 * h), A(3 * h), A(h)
+
+    def lstm(wcat, wih):
+        out_last, nll, bce = dp.decoder_loop_fused_losses(
+            noise, lengths, wcat, b4, b1, w2m, w2v, b2, wih,
+            targets, wo1, bo1, wo2, bo2, h0, c0, interpret=True)
         return nll + bce + jnp.sum(out_last)
 
-    res = {}
-    for sd in ("f32", "bf16"):
-        os.environ["SEQ2SEQ_STREAM_DTYPE"] = sd
-        try:
-            l, g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))(
-                ki["w_cat"], ki["w_ih"])
-        finally:
-            del os.environ["SEQ2SEQ_STREAM_DTYPE"]
-        res[sd] = (float(l), np.asarray(g[0]), np.asarray(g[1]))
-    assert decoder_pallas._stream_dtype() == jnp.float32  # default
-    assert res["f32"][0] == res["bf16"][0]  # fwd loss bit-equal
-    for i in (1, 2):
-        a, b = res["f32"][i], res["bf16"][i]
-        assert np.isfinite(b).all()
-        rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
-        assert 0 < rel < 5e-2  # bf16 rounding scale, and actually bf16
+    def gru(wcat, wih):
+        out_last, nll, bce = dp.gru_decoder_loop_fused_losses(
+            noise, lengths, wcat, b3g, b3h, b1, w2m, w2v, b2,
+            wih, targets, wo1, bo1, wo2, bo2, h0, interpret=True)
+        return nll + bce + jnp.sum(out_last)
+
+    def rnn(wcat, wih):
+        out_last, nll, bce = dp.rnn_decoder_loop_fused_losses(
+            noise, lengths, wcat, b1h, b1, w2m, w2v, b2, wih,
+            targets, wo1, bo1, wo2, bo2, h0, interpret=True)
+        return nll + bce + jnp.sum(out_last)
+
+    assert dp._stream_dtype() == jnp.float32  # default
+    cases = [(lstm, A(h, 4 * h + 2 * m), A(f, 4 * h)),
+             (gru, A(h, 3 * h + 2 * m), A(f, 3 * h)),
+             (rnn, A(h, h + 2 * m), A(f, h))]
+    for fn, wcat, wih in cases:
+        res = {}
+        for sd in ("f32", "bf16"):
+            os.environ["SEQ2SEQ_STREAM_DTYPE"] = sd
+            try:
+                l, g = jax.jit(jax.value_and_grad(fn, argnums=(0, 1)))(
+                    wcat, wih)
+            finally:
+                del os.environ["SEQ2SEQ_STREAM_DTYPE"]
+            res[sd] = (float(l), np.asarray(g[0]), np.asarray(g[1]))
+        assert res["f32"][0] == res["bf16"][0]  # fwd loss bit-equal
+        for i in (1, 2):
+            a, bb = res["f32"][i], res["bf16"][i]
+            assert np.isfinite(bb).all()
+            rel = np.max(np.abs(a - bb)) / (np.max(np.abs(a)) + 1e-9)
+            assert 0 < rel < 5e-2  # bf16 rounding scale, and really bf16
