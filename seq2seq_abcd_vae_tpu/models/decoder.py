@@ -659,6 +659,15 @@ def decoder_apply(params: dict, cfg: DecoderConfig, features: jax.Array,
         out=None / emission_params=() — and, with offsets fused,
         offset_weights=None — instead of the dead (B, T, *) streams.
     """
+    if cfg.rnn_type == "ESN":
+        # Frozen reservoir (model.py:376,396 requires_grad=False): zero
+        # grads for the cell weights; gradients still flow THROUGH the
+        # recurrence to the latent (via h0) and the emission MLPs.
+        params = dict(params)
+        for cell_key in ("rnn_cell", "rnn_cell_reverse"):
+            if cell_key in params:
+                params[cell_key] = jax.tree_util.tree_map(
+                    jax.lax.stop_gradient, params[cell_key])
     if cfg.has_speaker_embedding:
         emb = params["embed_speaker"][speaker]
         features = jnp.concatenate([features, emb], axis=-1)

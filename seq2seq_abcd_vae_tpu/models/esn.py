@@ -14,6 +14,13 @@ and ``ESNCell``).  Weight construction parity:
 Spectral radius is computed host-side with numpy at init (one-time), the
 TPU equivalent of the reference's ``torch.eig`` call.  The hidden matrix is
 kept dense: at these sizes a dense (H,H) MXU matmul beats sparse forms.
+
+ESN weights are FROZEN (reference model.py:376,396: ``requires_grad=False``):
+``run_esn_layer``/``esn_step`` wrap them in ``lax.stop_gradient`` so SGD
+never updates the reservoir (gradients are exactly zero, which also keeps
+the global-norm clip identical to torch, where frozen params simply don't
+participate).  The decoder's ESN cell is frozen the same way in
+models/decoder.py.
 """
 
 from __future__ import annotations
@@ -67,23 +74,32 @@ def esn_init(key: jax.Array, input_size: int, hidden_size: int,
 
 def esn_step(params: dict, x: jax.Array, h: jax.Array,
              leak: float) -> jax.Array:
-    update = jnp.tanh(x @ params["w_ih"] + h @ params["w_hh"])
+    w_ih = jax.lax.stop_gradient(params["w_ih"])
+    w_hh = jax.lax.stop_gradient(params["w_hh"])
+    update = jnp.tanh(x @ w_ih + h @ w_hh)
     return (1.0 - leak) * h + leak * update
 
 
 def run_esn_layer(params: dict, x: jax.Array, mask: jax.Array, leak: float,
                   reverse: bool = False):
-    """Masked scan of one ESN direction; mirrors rnn.run_rnn_layer."""
+    """Masked scan of one ESN direction; mirrors rnn.run_rnn_layer.
+
+    The reservoir weights are frozen (stop_gradient; model.py:376,396
+    ``requires_grad=False``) — gradients still flow to the INPUT x, which
+    is a lower layer's trainable output for stacked ESNs.
+    """
     b, t, _ = x.shape
     hidden = params["w_hh"].shape[0]
-    xp = x @ params["w_ih"]  # hoisted input matmul (model.py:430)
+    w_ih = jax.lax.stop_gradient(params["w_ih"])
+    w_hh = jax.lax.stop_gradient(params["w_hh"])
+    xp = x @ w_ih  # hoisted input matmul (model.py:430)
     xp_t = jnp.swapaxes(xp, 0, 1)
     mask_t = jnp.swapaxes(mask, 0, 1)[..., None]
     h0 = jnp.zeros((b, hidden), x.dtype)
 
     def step(h, inp):
         xpt, mt = inp
-        h2 = (1.0 - leak) * h + leak * jnp.tanh(xpt + h @ params["w_hh"])
+        h2 = (1.0 - leak) * h + leak * jnp.tanh(xpt + h @ w_hh)
         h = jnp.where(mt, h2, h)
         return h, h
 

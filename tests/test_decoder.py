@@ -198,3 +198,38 @@ def test_bidirectional_reverse_processes_reversed_sequence(rng):
     np.testing.assert_allclose(np.asarray(out.out_reverse)[1, :3],
                                np.asarray(solo.out_reverse)[0], rtol=2e-4,
                                atol=1e-5)
+
+
+def test_esn_decoder_weights_frozen(rng):
+    """The decoder's ESN cell is a frozen reservoir (reference
+    model.py:376,396 requires_grad=False): its w_ih/w_hh gradients must be
+    EXACTLY zero while the latent projection, emission sampler, and offset
+    head still train through the recurrence."""
+    for bidirectional in (False, True):
+        cfg, params = make("ESN", esn_leak=0.7, bidirectional=bidirectional)
+        feats = jnp.asarray(rng.normal(
+            size=(2, cfg.feature_size)).astype(np.float32))
+        lengths = jnp.asarray([6, 3], jnp.int32)
+        gt = jnp.asarray(rng.normal(size=(2, 6, 6)).astype(np.float32))
+        off = np.zeros((2, 6), np.float32)
+        off[0, 5] = 1.0
+        off[1, 2] = 1.0
+
+        def loss(p):
+            out = dec.decoder_apply(
+                p, cfg, feats, lengths, 6, ground_truth_out=gt,
+                ground_truth_offset=jnp.asarray(off),
+                key=jax.random.PRNGKey(4))
+            return out.emission_loss + out.offset_loss
+
+        g = jax.grad(loss)(params)
+        cells = ["rnn_cell"] + (["rnn_cell_reverse"] if bidirectional
+                                else [])
+        for c in cells:
+            np.testing.assert_array_equal(np.asarray(g[c]["w_ih"]), 0.0)
+            np.testing.assert_array_equal(np.asarray(g[c]["w_hh"]), 0.0)
+        assert float(jnp.linalg.norm(g["feature2hidden"]["w"])) > 0.0
+        assert float(jnp.linalg.norm(
+            g["emission_sampler"]["to_parameters"]["lin1"]["w"])) > 0.0
+        assert float(jnp.linalg.norm(
+            g["offset_predictor"]["lin1"]["w"])) > 0.0

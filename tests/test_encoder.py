@@ -118,3 +118,27 @@ def test_esn_input_weight_values():
     q = float(spstats.binom.ppf(0.95, 65, 0.5))
     vals = np.unique(w)
     np.testing.assert_allclose(sorted(vals), [-3.0 / q, 3.0 / q], rtol=1e-6)
+
+
+def test_esn_weights_frozen(rng):
+    """ESN reservoir weights are non-trainable (reference model.py:376,396
+    requires_grad=False): gradients through the encoder must be EXACTLY
+    zero for w_ih/w_hh while still flowing to the input (a lower layer's
+    trainable output in stacked configs)."""
+    cfg = EncoderConfig(5, 16, rnn_type="ESN", bidirectional=True,
+                        esn_leak=0.7, rnn_layers=2)
+    params = enc.encoder_init(jax.random.PRNGKey(3), cfg)
+    x = jnp.asarray(rng.normal(size=(3, 7, 5)).astype(np.float32))
+    lengths = jnp.asarray([7, 5, 2], dtype=jnp.int32)
+
+    def loss(p, xx):
+        out = enc.encoder_apply(p, cfg, xx, lengths)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(params, x)
+    for layer in g["layers"]:
+        for d in layer.values():
+            np.testing.assert_array_equal(np.asarray(d["w_ih"]), 0.0)
+            np.testing.assert_array_equal(np.asarray(d["w_hh"]), 0.0)
+    gx = jax.grad(loss, argnums=1)(params, x)
+    assert float(jnp.linalg.norm(gx)) > 0.0
