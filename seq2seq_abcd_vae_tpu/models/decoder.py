@@ -175,13 +175,21 @@ def _drop_mask(cfg: DecoderConfig, key: jax.Array, shape, dtype,
 def _run_direction(cfg: DecoderConfig, cell_params: dict,
                    emission_params: dict, h0: jax.Array, c0: jax.Array,
                    step_mask: jax.Array, key: jax.Array,
-                   deterministic: bool, emission_mode: str):
+                   deterministic: bool, emission_mode: str,
+                   mask_is_prefix: bool = True):
     """One decoding direction over scan steps 0..T-1.
 
     step_mask: (B, T) validity *in scan-step order* (flip it along time for
     the reverse direction).  A row's input is gated to zero on its first
     active step (zero first input, model.py:174,218) and to the previous
     sample afterwards.
+
+    mask_is_prefix: True when step_mask rows are contiguous [0, len)
+    prefixes (every unidirectional call; the FORWARD leg of the
+    bidirectional ESN decoder).  The reverse bidirectional leg passes a
+    flipped — suffix — mask and must say False: the Pallas kernels
+    synthesize PREFIX masks from row lengths in-kernel, so they are only
+    admissible here when the prefix reconstruction is faithful.
 
     Software-pipelined emission: scan step s computes the emission of the
     hidden state produced at step s-1 (needed only to SAMPLE the feedback
@@ -232,7 +240,9 @@ def _run_direction(cfg: DecoderConfig, cell_params: dict,
             out = d.from_noise(jnp.swapaxes(noise_t, 0, 1), *em_params)
         return rnn_out, em_params, out
 
-    if (cfg.rnn_type in ("LSTM", "GRU", "RNN") and emission_mode == "sample"
+    if (cfg.rnn_type in ("LSTM", "GRU", "RNN", "ESN")
+            and emission_mode == "sample"
+            and mask_is_prefix
             and drop_t is None
             and cfg.emission_distr_name == "isotropic_gaussian"
             and rnn_mod.resolved_backend() == "pallas"):
@@ -289,6 +299,19 @@ def _run_direction(cfg: DecoderConfig, cell_params: dict,
                     cell_params["w_ih"], h0,
                     interpret=jax.default_backend() != "tpu",
                     precision=rnn_mod.kernel_precision())
+            elif cfg.rnn_type == "ESN":
+                # leaky-tanh Elman kernel, no biases (model.py:444,
+                # 529-531); reservoir weights already stop_gradient'd
+                # by decoder_apply
+                outs = decoder_pallas.rnn_decoder_loop(
+                    noise_t, lengths_row, w_cat2,
+                    jnp.zeros((cfg.rnn_hidden_size,), h0.dtype),
+                    em["lin1"]["b"].reshape(-1), em["lin2"]["w"][0],
+                    em["lin2"]["w"][1], em["lin2"]["b"].reshape(-1),
+                    cell_params["w_ih"], h0,
+                    interpret=jax.default_backend() != "tpu",
+                    precision=rnn_mod.kernel_precision(),
+                    leak=cfg.esn_leak)
             else:  # Elman RNN: biases simply add (torch RNNCell)
                 outs = decoder_pallas.rnn_decoder_loop(
                     noise_t, lengths_row, w_cat2,
@@ -447,6 +470,15 @@ def _run_direction_fused_losses(cfg: DecoderConfig, cell_params: dict,
             cell_params["b_ih"] + cell_params["b_hh"],
             *emission_args, h0,
             interpret=interpret, precision=precision)
+    if cfg.rnn_type == "ESN":
+        # leaky-tanh Elman kernel, no biases (model.py:444,529-531);
+        # reservoir weights already stop_gradient'd by decoder_apply
+        return decoder_pallas.rnn_decoder_loop_fused_losses(
+            noise_t, lengths_row, w_cat2,
+            jnp.zeros((cfg.rnn_hidden_size,), h0.dtype),
+            *emission_args, h0,
+            interpret=interpret, precision=precision,
+            leak=cfg.esn_leak)
     return decoder_pallas.decoder_loop_fused_losses(
         noise_t, lengths_row, w_cat2,
         cell_params["b_ih"] + cell_params["b_hh"],
@@ -762,7 +794,7 @@ def decoder_apply(params: dict, cfg: DecoderConfig, features: jax.Array,
         rnn_out_r, em_r, out_r = _run_direction(
             cfg, params["rnn_cell_reverse"],
             params["emission_sampler_reverse"], h0_r, c0_r, rev_mask, key_r,
-            deterministic, emission_mode)
+            deterministic, emission_mode, mask_is_prefix=False)
         rnn_out_r = jnp.flip(rnn_out_r, axis=1)
         em_r = tuple(jnp.flip(p, axis=1) for p in em_r)
         out_r = jnp.flip(out_r, axis=1)

@@ -84,15 +84,16 @@ def _esn_forward(params, cfg, x, mask, dropout_key, deterministic):
     finals = []
     y = x
     for l, layer in enumerate(params["layers"]):
-        outs_f, h_f = esn_mod.run_esn_layer(layer["fwd"], y, mask,
-                                            cfg.esn_leak)
-        finals.append((h_f, None))
         if cfg.bidirectional:
-            outs_b, h_b = esn_mod.run_esn_layer(layer["bwd"], y, mask,
-                                                cfg.esn_leak, reverse=True)
+            outs_f, outs_b, h_f, h_b = esn_mod.run_esn_layer_bidir(
+                layer["fwd"], layer["bwd"], y, mask, cfg.esn_leak)
+            finals.append((h_f, None))
             finals.append((h_b, None))
             y = jnp.concatenate([outs_f, outs_b], axis=-1)
         else:
+            outs_f, h_f = esn_mod.run_esn_layer(layer["fwd"], y, mask,
+                                                cfg.esn_leak)
+            finals.append((h_f, None))
             y = outs_f
         if l < cfg.rnn_layers - 1:
             sub = (None if dropout_key is None

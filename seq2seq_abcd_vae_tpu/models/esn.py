@@ -82,7 +82,9 @@ def esn_step(params: dict, x: jax.Array, h: jax.Array,
 
 def run_esn_layer(params: dict, x: jax.Array, mask: jax.Array, leak: float,
                   reverse: bool = False):
-    """Masked scan of one ESN direction; mirrors rnn.run_rnn_layer.
+    """Masked scan of one ESN direction; mirrors rnn.run_rnn_layer,
+    including its whole-loop Pallas kernel dispatch (the Elman layer
+    kernel generalized with the static ``leak``, zero biases).
 
     The reservoir weights are frozen (stop_gradient; model.py:376,396
     ``requires_grad=False``) — gradients still flow to the INPUT x, which
@@ -94,6 +96,20 @@ def run_esn_layer(params: dict, x: jax.Array, mask: jax.Array, leak: float,
     w_hh = jax.lax.stop_gradient(params["w_hh"])
     xp = x @ w_ih  # hoisted input matmul (model.py:430)
     xp_t = jnp.swapaxes(xp, 0, 1)
+    from . import rnn as rnn_mod
+    if rnn_mod.resolved_backend() == "pallas":
+        from ..ops import elman_pallas
+        lengths = jnp.sum(mask.astype(jnp.float32), axis=1)
+        interpret = jax.default_backend() != "tpu"
+        if reverse:
+            xp_t = jnp.flip(xp_t, 0)
+        outs, h_n = elman_pallas.rnn_layer(
+            xp_t, lengths, w_hh, jnp.zeros((hidden,), x.dtype),
+            interpret=interpret, precision=rnn_mod.kernel_precision(),
+            reverse=reverse, leak=leak)
+        if reverse:
+            outs = jnp.flip(outs, 0)
+        return jnp.swapaxes(outs, 0, 1), h_n
     mask_t = jnp.swapaxes(mask, 0, 1)[..., None]
     h0 = jnp.zeros((b, hidden), x.dtype)
 
@@ -103,7 +119,43 @@ def run_esn_layer(params: dict, x: jax.Array, mask: jax.Array, leak: float,
         h = jnp.where(mt, h2, h)
         return h, h
 
-    from .rnn import SCAN_UNROLL
     h_n, outs = jax.lax.scan(step, h0, (xp_t, mask_t), reverse=reverse,
-                             unroll=SCAN_UNROLL)
+                             unroll=rnn_mod.SCAN_UNROLL)
     return jnp.swapaxes(outs, 0, 1), h_n
+
+
+def run_esn_layer_bidir(params_fwd: dict, params_bwd: dict, x: jax.Array,
+                        mask: jax.Array, leak: float):
+    """Both ESN directions of one layer; takes the fully fused
+    bidirectional Elman kernel (input projection in-kernel, leak static,
+    zero biases) when the measured backend is pallas, else two masked
+    scans.  Mirrors rnn.run_rnn_layer_bidir's dispatch incl. the
+    SEQ2SEQ_ENCODER_BACKEND override.
+
+    Returns (outs_fwd (B,T,H), outs_bwd (B,T,H), h_n_fwd, h_n_bwd).
+    """
+    import os
+
+    from . import rnn as rnn_mod
+    enc_backend = os.environ.get("SEQ2SEQ_ENCODER_BACKEND", "auto")
+    if (enc_backend == "pallas" or (enc_backend == "auto"
+                                    and rnn_mod.resolved_backend()
+                                    == "pallas")):
+        from ..ops import elman_pallas
+        hidden = params_fwd["w_hh"].shape[0]
+        w_ih = jax.lax.stop_gradient(
+            jnp.stack([params_fwd["w_ih"], params_bwd["w_ih"]]))
+        w_hh = jax.lax.stop_gradient(
+            jnp.stack([params_fwd["w_hh"], params_bwd["w_hh"]]))
+        zeros2 = jnp.zeros((2, hidden), x.dtype)
+        lengths = jnp.sum(mask.astype(jnp.float32), axis=1)
+        outs, h_n = elman_pallas.rnn_layer_bidir_fused(
+            jnp.swapaxes(x, 0, 1), lengths, w_ih, zeros2, w_hh, zeros2,
+            interpret=jax.default_backend() != "tpu",
+            precision=rnn_mod.kernel_precision(), leak=leak)
+        outs_f = jnp.swapaxes(outs[:, 0], 0, 1)
+        outs_b = jnp.swapaxes(jnp.flip(outs[:, 1], 0), 0, 1)
+        return outs_f, outs_b, h_n[0], h_n[1]
+    outs_f, h_f = run_esn_layer(params_fwd, x, mask, leak)
+    outs_b, h_b = run_esn_layer(params_bwd, x, mask, leak, reverse=True)
+    return outs_f, outs_b, h_f, h_b

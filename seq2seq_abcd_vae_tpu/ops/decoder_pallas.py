@@ -1066,12 +1066,20 @@ def gru_decoder_loop_fused_losses(noise, lengths, w_cat, b_ih, b_hh,
 # Elman-RNN variant.  Single tanh gate, no cell state; like LSTM the two
 # biases simply add (h2 = tanh(x W_ih + b_ih + h W_hh + b_hh),
 # torch.nn.RNNCell), so the kernel takes bias = b_ih + b_hh.
+#
+# A static ``leak`` (default 1.0 = plain Elman, compiled away) generalizes
+# the same kernels to the ESN decoder cell (reference model.py:444,529-531:
+# h' = (1-leak) h + leak tanh(x W_ih + h W_hh), no biases — the caller
+# passes bias = 0).  The reservoir weights are frozen OUTSIDE the kernel
+# (stop_gradient in models/decoder.py), so the weight cotangents the
+# backward kernel computes are simply dropped by XLA for ESN.
 # ---------------------------------------------------------------------------
 
 def _rnn_fwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
                     b1_ref, w2m_ref, w2v_ref, b2_ref, wih_ref,
                     h0_ref, out_ref, hs_ref, h_scr,
-                    *, hidden: int, m: int, precision=None):
+                    *, hidden: int, m: int, leak: float = 1.0,
+                    precision=None):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -1090,8 +1098,9 @@ def _rnn_fwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
               + b2_ref[:, f_dim:])
     x = mean + jnp.exp(0.5 * logvar) * noise_ref[0]
     x = x * pmt  # zero first input per row
-    h2 = jnp.tanh(hp + _mxu_dot(x, wih_ref[:, :], precision)
-                  + bias_ref[:, :])
+    u = jnp.tanh(hp + _mxu_dot(x, wih_ref[:, :], precision)
+                 + bias_ref[:, :])
+    h2 = u if leak == 1.0 else (1.0 - leak) * h + leak * u
     h = jnp.where(mt > 0, h2, h)
     h_scr[:] = h
     out_ref[0] = h2
@@ -1104,7 +1113,8 @@ def _rnn_bwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
                     dwcat_ref, dbias_ref, db1_ref, dw2m_ref, dw2v_ref,
                     db2_ref, dwih_ref, dh0_ref,
                     dh_scr,
-                    *, hidden: int, m: int, precision=None):
+                    *, hidden: int, m: int, leak: float = 1.0,
+                    precision=None):
     s = pl.program_id(0)
     nt = pl.num_programs(0)
 
@@ -1134,14 +1144,17 @@ def _rnn_bwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
               + b2_ref[:, f_dim:])
     std = jnp.exp(0.5 * logvar)
     x = (mean + std * eps) * pmt
-    h2 = jnp.tanh(hp + _mxu_dot(x, wih_ref[:, :], precision)
-                  + bias_ref[:, :])
+    u = jnp.tanh(hp + _mxu_dot(x, wih_ref[:, :], precision)
+                 + bias_ref[:, :])
 
-    # ---- adjoint of:  h2 = tanh(pre);  h = m ? h2 : h_prev
+    # ---- adjoint of:  h2 = (1-leak) h_prev + leak tanh(pre);
+    #                   h = m ? h2 : h_prev        (leak=1: h2 = tanh)
     dh_carry = dh_scr[:]
     dh2 = dout_ref[0] + jnp.where(mt > 0, dh_carry, 0.0)
-    dpre = dh2 * (1.0 - h2 * h2)
+    dpre = (dh2 if leak == 1.0 else leak * dh2) * (1.0 - u * u)
     dh_prev = jnp.where(mt > 0, 0.0, dh_carry)
+    if leak != 1.0:
+        dh_prev = dh_prev + (1.0 - leak) * dh2
 
     dx = _mxu_dot_nt(dpre, wih_ref[:, :], precision)
     dwih_ref[:, :] += _mxu_dot_tn(x, dpre, precision)
@@ -1190,14 +1203,14 @@ def _rnn_specs(b, f, hidden, m, g_all):
 
 
 def _rnn_fwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
-                  wih, h0, interpret, precision):
+                  wih, h0, interpret, precision, leak=1.0):
     t, b, f = noise.shape
     hidden = h0.shape[1]
     g_all = wcat.shape[1]
     m = (g_all - hidden) // 2
     ins, stream3, res = _rnn_specs(b, f, hidden, m, g_all)
     outs, hs = pl.pallas_call(
-        functools.partial(_rnn_fwd_kernel, hidden=hidden, m=m,
+        functools.partial(_rnn_fwd_kernel, hidden=hidden, m=m, leak=leak,
                           precision=precision),
         grid=(t,),
         in_specs=ins + [res((b, hidden))],
@@ -1214,7 +1227,7 @@ def _rnn_fwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
 
 
 def _rnn_bwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
-                  wih, h0, hs, douts, interpret, precision):
+                  wih, h0, hs, douts, interpret, precision, leak=1.0):
     t, b, f = noise.shape
     hidden = h0.shape[1]
     g_all = wcat.shape[1]
@@ -1249,7 +1262,7 @@ def _rnn_bwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
         jax.ShapeDtypeStruct((b, hidden), jnp.float32),
     ]
     grads = pl.pallas_call(
-        functools.partial(_rnn_bwd_kernel, hidden=hidden, m=m,
+        functools.partial(_rnn_bwd_kernel, hidden=hidden, m=m, leak=leak,
                           precision=precision),
         grid=(t,),
         in_specs=rev_ins,
@@ -1264,29 +1277,31 @@ def _rnn_bwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
     return grads
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
 def _rnn_loop_cvjp(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
-                   wih, h0, interpret, precision):
+                   wih, h0, interpret, precision, leak):
     outs, hs = _rnn_fwd_call(noise, lengths_f, wcat, bias, b1, w2m,
-                             w2v, b2, wih, h0, interpret, precision)
+                             w2v, b2, wih, h0, interpret, precision,
+                             leak)
     return outs
 
 
 def _rnn_loop_fwd(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
-                  wih, h0, interpret, precision):
+                  wih, h0, interpret, precision, leak):
     outs, hs = _rnn_fwd_call(noise, lengths_f, wcat, bias, b1, w2m,
-                             w2v, b2, wih, h0, interpret, precision)
+                             w2v, b2, wih, h0, interpret, precision,
+                             leak)
     return outs, (noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
                   wih, h0, hs)
 
 
-def _rnn_loop_bwd(interpret, precision, residuals, douts):
+def _rnn_loop_bwd(interpret, precision, leak, residuals, douts):
     (noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih, h0,
      hs) = residuals
     (dwcat, dbias, db1, dw2m, dw2v, db2, dwih,
      dh0) = _rnn_bwd_call(noise, lengths_f, wcat, bias, b1, w2m,
                           w2v, b2, wih, h0, hs, douts, interpret,
-                          precision)
+                          precision, leak)
     return (jnp.zeros_like(noise), jnp.zeros_like(lengths_f),
             dwcat, dbias.reshape(-1),
             db1.reshape(-1), dw2m, dw2v, db2.reshape(-1), dwih, dh0)
@@ -1297,19 +1312,23 @@ _rnn_loop_cvjp.defvjp(_rnn_loop_fwd, _rnn_loop_bwd)
 
 def rnn_decoder_loop(noise, lengths, w_cat, bias, b1_flat,
                      w2_mean, w2_logvar, b2_flat, w_ih, h0,
-                     interpret: bool = False, precision=None):
+                     interpret: bool = False, precision=None,
+                     leak: float = 1.0):
     """Elman-RNN analogue of ``decoder_loop`` (lengths in, masks
     in-kernel).
 
     Same streaming layout; w_cat is (H, H + 2m), bias = b_ih + b_hh
     (torch.nn.RNNCell: the biases simply add inside the tanh).  No cell
     state.  Returns outs (T, B, H), the PRE-mask candidate h2 per step.
+
+    ``leak`` < 1.0 selects the ESN cell (model.py:444,529-531):
+    h2 = (1-leak) h + leak tanh(...); pass bias = 0 (ESN has no biases).
     """
     lengths_f = jnp.asarray(lengths, jnp.float32).reshape(-1, 1)
     return _rnn_loop_cvjp(
         noise, lengths_f, w_cat, bias.reshape(1, -1),
         b1_flat.reshape(1, -1), w2_mean, w2_logvar,
-        b2_flat.reshape(1, -1), w_ih, h0, interpret, precision)
+        b2_flat.reshape(1, -1), w_ih, h0, interpret, precision, leak)
 
 
 # ---------------------------------------------------------------------------
@@ -1323,7 +1342,7 @@ def _rnn_floss_fwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
                           b1_ref, w2m_ref, w2v_ref, b2_ref, wih_ref,
                           tgt_ref, wo1_ref, bo1_ref, wo2_ref, bo2_ref,
                           h0_ref, out_ref, hs_ref, sc_ref, h_scr,
-                          *, hidden: int, m: int,
+                          *, hidden: int, m: int, leak: float = 1.0,
                           kernel_rng: bool = False, precision=None):
     t = pl.program_id(0)
 
@@ -1354,8 +1373,9 @@ def _rnn_floss_fwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
     nll_t = 0.5 * (_LOG_2PI + logvar + diff * jnp.exp(-logvar) * diff)
     sc_ref[0, 0] += jnp.sum(nll_t * pmt)
 
-    h2 = jnp.tanh(hp + _mxu_dot(x, wih_ref[:, :], precision)
-                  + bias_ref[:, :])
+    u = jnp.tanh(hp + _mxu_dot(x, wih_ref[:, :], precision)
+                 + bias_ref[:, :])
+    h2 = u if leak == 1.0 else (1.0 - leak) * h + leak * u
 
     oh = jnp.tanh(_mxu_dot(h2, wo1_ref[:, :], precision)
                   + bo1_ref[:, :])
@@ -1380,7 +1400,7 @@ def _rnn_floss_bwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
                           dw2v_ref, db2_ref, dwih_ref,
                           dwo1_ref, dbo1_ref, dwo2_ref, dbo2_ref,
                           dh0_ref, dh_scr,
-                          *, hidden: int, m: int,
+                          *, hidden: int, m: int, leak: float = 1.0,
                           kernel_rng: bool = False, precision=None):
     s = pl.program_id(0)
     nt = pl.num_programs(0)
@@ -1420,8 +1440,9 @@ def _rnn_floss_bwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
               + b2_ref[:, f_dim:])
     std = jnp.exp(0.5 * logvar)
     x = (mean + std * eps) * pmt
-    h2 = jnp.tanh(hp + _mxu_dot(x, wih_ref[:, :], precision)
-                  + bias_ref[:, :])
+    u = jnp.tanh(hp + _mxu_dot(x, wih_ref[:, :], precision)
+                 + bias_ref[:, :])
+    h2 = u if leak == 1.0 else (1.0 - leak) * h_prev + leak * u
 
     # ---- offset-MLP recompute + in-register BCE adjoint
     oh = jnp.tanh(_mxu_dot(h2, wo1_ref[:, :], precision)
@@ -1436,13 +1457,16 @@ def _rnn_floss_bwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
     dwo2_ref[:, :] += jnp.sum(oh * dzo, axis=0, keepdims=True)
     dbo2_ref[0, 0] += jnp.sum(dzo)
 
-    # ---- adjoint of:  h2 = tanh(pre);  h = m ? h2 : h_prev
+    # ---- adjoint of:  h2 = (1-leak) h_prev + leak tanh(pre);
+    #                   h = m ? h2 : h_prev        (leak=1: h2 = tanh)
     dh_carry = dh_scr[:]
     dh2 = (_mxu_dot_nt(doh, wo1_ref[:, :], precision)
            + jnp.where(s == 0, dlast_ref[:, :], 0.0)
            + jnp.where(mt > 0, dh_carry, 0.0))
-    dpre = dh2 * (1.0 - h2 * h2)
+    dpre = (dh2 if leak == 1.0 else leak * dh2) * (1.0 - u * u)
     dh_prev = jnp.where(mt > 0, 0.0, dh_carry)
+    if leak != 1.0:
+        dh_prev = dh_prev + (1.0 - leak) * dh2
 
     dx = _mxu_dot_nt(dpre, wih_ref[:, :], precision)
     dwih_ref[:, :] += _mxu_dot_tn(x, dpre, precision)
@@ -1478,7 +1502,7 @@ def _rnn_floss_bwd_kernel(noise_ref, len_ref, wcat_ref, bias_ref,
 
 def _rnn_floss_fwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
                         wih, targets, offset_params, h0, interpret,
-                        precision):
+                        precision, leak=1.0):
     kernel_rng = noise.ndim == 2
     t, b, f = targets.shape
     hidden = h0.shape[1]
@@ -1496,7 +1520,8 @@ def _rnn_floss_fwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
         ins = [smem((1, 1))] + ins[1:]
     out_last, hs, sc = pl.pallas_call(
         functools.partial(_rnn_floss_fwd_kernel, hidden=hidden, m=m,
-                          kernel_rng=kernel_rng, precision=precision),
+                          leak=leak, kernel_rng=kernel_rng,
+                          precision=precision),
         grid=(t,),
         in_specs=ins + [pos((1, b, f)), res((hidden, mo)), res((1, mo)),
                         res((1, mo)), smem((1, 1)), res((b, hidden))],
@@ -1517,7 +1542,7 @@ def _rnn_floss_fwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
 
 def _rnn_floss_bwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
                         wih, targets, offset_params, h0, hs, dlast,
-                        gscale, interpret, precision):
+                        gscale, interpret, precision, leak=1.0):
     kernel_rng = noise.ndim == 2
     t, b, f = targets.shape
     hidden = h0.shape[1]
@@ -1567,7 +1592,8 @@ def _rnn_floss_bwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
     ]
     grads = pl.pallas_call(
         functools.partial(_rnn_floss_bwd_kernel, hidden=hidden, m=m,
-                          kernel_rng=kernel_rng, precision=precision),
+                          leak=leak, kernel_rng=kernel_rng,
+                          precision=precision),
         grid=(t,),
         in_specs=rev_ins,
         out_specs=out_specs,
@@ -1581,28 +1607,28 @@ def _rnn_floss_bwd_call(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
     return grads
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17))
 def _rnn_floss_cvjp(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
                     wih, targets, wo1, bo1, wo2, bo2, h0, interpret,
-                    precision):
+                    precision, leak):
     out_last, hs, sc = _rnn_floss_fwd_call(
         noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih, targets,
-        (wo1, bo1, wo2, bo2), h0, interpret, precision)
+        (wo1, bo1, wo2, bo2), h0, interpret, precision, leak)
     return out_last[0], sc[0, 0], sc[0, 1]
 
 
 def _rnn_floss_fwd(noise, lengths_f, wcat, bias, b1, w2m, w2v, b2,
                    wih, targets, wo1, bo1, wo2, bo2, h0, interpret,
-                   precision):
+                   precision, leak):
     out_last, hs, sc = _rnn_floss_fwd_call(
         noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih, targets,
-        (wo1, bo1, wo2, bo2), h0, interpret, precision)
+        (wo1, bo1, wo2, bo2), h0, interpret, precision, leak)
     return ((out_last[0], sc[0, 0], sc[0, 1]),
             (noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih,
              targets, wo1, bo1, wo2, bo2, h0, hs))
 
 
-def _rnn_floss_bwd(interpret, precision, residuals, grads):
+def _rnn_floss_bwd(interpret, precision, leak, residuals, grads):
     (noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih, targets,
      wo1, bo1, wo2, bo2, h0, hs) = residuals
     dlast, dnll, dbce = grads
@@ -1612,7 +1638,7 @@ def _rnn_floss_bwd(interpret, precision, residuals, grads):
      dh0) = _rnn_floss_bwd_call(
         noise, lengths_f, wcat, bias, b1, w2m, w2v, b2, wih, targets,
         (wo1, bo1, wo2, bo2), h0, hs, dlast, gscale, interpret,
-        precision)
+        precision, leak)
     return (jnp.zeros_like(noise), jnp.zeros_like(lengths_f),
             dwcat, dbias.reshape(-1), db1.reshape(-1), dw2m, dw2v,
             db2.reshape(-1), dwih, jnp.zeros_like(targets),
@@ -1626,19 +1652,22 @@ def rnn_decoder_loop_fused_losses(noise, lengths, w_cat, bias, b1_flat,
                                   w2_mean, w2_logvar, b2_flat, w_ih,
                                   targets, wo1, bo1, wo2, bo2, h0,
                                   interpret: bool = False,
-                                  precision=None):
+                                  precision=None, leak: float = 1.0):
     """Elman analogue of ``decoder_loop_fused_losses`` (emission NLL +
     offset MLP/BCE fused in-kernel, (t == len-1) target synthesized from
     lengths, outs stream collapsed to a resident last-step block).
     ``noise`` is either the (T, B, F) presampled stream or the (1, 1)
     f32 seed (SEQ2SEQ_KERNEL_RNG).  Returns (out_last (B, H), nll
-    covering positions 0..T-2, bce covering all positions)."""
+    covering positions 0..T-2, bce covering all positions).
+
+    ``leak`` < 1.0 selects the ESN cell (model.py:444,529-531); pass
+    bias = 0 (ESN has no biases)."""
     lengths_f = jnp.asarray(lengths, jnp.float32).reshape(-1, 1)
     return _rnn_floss_cvjp(
         noise, lengths_f, w_cat, bias.reshape(1, -1),
         b1_flat.reshape(1, -1), w2_mean, w2_logvar,
         b2_flat.reshape(1, -1), w_ih, targets, wo1, bo1, wo2, bo2, h0,
-        interpret, precision)
+        interpret, precision, leak)
 
 
 # ---------------------------------------------------------------------------

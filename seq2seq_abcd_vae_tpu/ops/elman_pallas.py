@@ -23,6 +23,13 @@ reference model.py:175-177).  Both kernels are wired into
 ``jax.custom_vjp`` with hand-derived Pallas backward passes that
 recompute the step nonlinearity from the saved h trajectory.  Backend
 choice is measured at runtime (utils/backend_select.py).
+
+A static ``leak`` (default 1.0 = plain Elman, compiled away) generalizes
+both kernels to the ESN encoder layer (reference model.py:444,529-531:
+h' = (1-leak) h + leak tanh(x W_ih + h W_hh), no biases — the caller
+passes zero biases).  ESN reservoir weights are frozen OUTSIDE the
+kernel (stop_gradient in models/esn.py), so the weight cotangents the
+backward kernels compute are dropped by XLA there.
 """
 
 from __future__ import annotations
@@ -47,7 +54,7 @@ from .mxu import mxu_dot_tn as _mxu_dot_tn
 
 
 def _fwd_kernel(xp_ref, len_ref, w_ref, b_ref, out_ref, hn_ref, h_scr,
-                *, precision=None, reverse=False):
+                *, precision=None, reverse=False, leak=1.0):
     t = pl.program_id(0)
     nt = pl.num_programs(0)
 
@@ -56,8 +63,9 @@ def _fwd_kernel(xp_ref, len_ref, w_ref, b_ref, out_ref, hn_ref, h_scr,
         h_scr[:] = jnp.zeros_like(h_scr)
 
     h = h_scr[:]
-    h2 = jnp.tanh(xp_ref[0] + _mxu_dot(h, w_ref[:, :], precision)
-                  + b_ref[:, :])
+    u = jnp.tanh(xp_ref[0] + _mxu_dot(h, w_ref[:, :], precision)
+                 + b_ref[:, :])
+    h2 = u if leak == 1.0 else (1.0 - leak) * h + leak * u
     m = _span_mask(t, nt, len_ref, reverse)
     h = jnp.where(m > 0, h2, h)
     h_scr[:] = h
@@ -70,7 +78,7 @@ def _fwd_kernel(xp_ref, len_ref, w_ref, b_ref, out_ref, hn_ref, h_scr,
 
 def _bwd_kernel(xp_ref, len_ref, w_ref, b_ref, hprev_ref, dout_ref,
                 dhn_ref, dxp_ref, dw_ref, db_ref, dh_scr,
-                *, precision=None, reverse=False):
+                *, precision=None, reverse=False, leak=1.0):
     """Reverse-order grid: program s processes step t = T-1-s."""
     s = pl.program_id(0)
     nt = pl.num_programs(0)
@@ -83,13 +91,16 @@ def _bwd_kernel(xp_ref, len_ref, w_ref, b_ref, hprev_ref, dout_ref,
 
     h_prev = hprev_ref[0]
     m = _span_mask(nt - 1 - s, nt, len_ref, reverse) > 0
-    h2 = jnp.tanh(xp_ref[0] + _mxu_dot(h_prev, w_ref[:, :], precision)
-                  + b_ref[:, :])
+    u = jnp.tanh(xp_ref[0] + _mxu_dot(h_prev, w_ref[:, :], precision)
+                 + b_ref[:, :])
 
     dh = dh_scr[:] + dout_ref[0]
-    dpre = jnp.where(m, dh, 0.0) * (1.0 - h2 * h2)
+    dh2 = jnp.where(m, dh, 0.0)
+    dpre = (dh2 if leak == 1.0 else leak * dh2) * (1.0 - u * u)
     dh_prev = (jnp.where(m, 0.0, dh)
                + _mxu_dot_nt(dpre, w_ref[:, :], precision))
+    if leak != 1.0:
+        dh_prev = dh_prev + (1.0 - leak) * dh2
 
     dxp_ref[0] = dpre
     dw_ref[:, :] += _mxu_dot_tn(h_prev, dpre, precision)
@@ -97,13 +108,14 @@ def _bwd_kernel(xp_ref, len_ref, w_ref, b_ref, hprev_ref, dout_ref,
     dh_scr[:] = dh_prev
 
 
-def _fwd_call(xp, lengths_f, w_hh, b_hh, interpret, precision, reverse):
+def _fwd_call(xp, lengths_f, w_hh, b_hh, interpret, precision, reverse,
+              leak=1.0):
     t, b, g = xp.shape
     hidden = w_hh.shape[0]
     b_row = b_hh.reshape(1, g)
     outs, h_n = pl.pallas_call(
         functools.partial(_fwd_kernel, precision=precision,
-                          reverse=reverse),
+                          reverse=reverse, leak=leak),
         grid=(t,),
         in_specs=[
             pl.BlockSpec((1, b, g), lambda i: (i, 0, 0),
@@ -132,7 +144,7 @@ def _fwd_call(xp, lengths_f, w_hh, b_hh, interpret, precision, reverse):
 
 
 def _bwd_call(xp, lengths_f, w_hh, b_hh, outs, douts, dh_n, interpret,
-              precision, reverse):
+              precision, reverse, leak=1.0):
     t, b, g = xp.shape
     hidden = w_hh.shape[0]
     b_row = b_hh.reshape(1, g)
@@ -151,7 +163,7 @@ def _bwd_call(xp, lengths_f, w_hh, b_hh, outs, douts, dh_n, interpret,
                                  memory_space=pltpu.VMEM)
     dxp, dw, db = pl.pallas_call(
         functools.partial(_bwd_kernel, precision=precision,
-                          reverse=reverse),
+                          reverse=reverse, leak=leak),
         grid=(t,),
         in_specs=[
             pl.BlockSpec((1, b, g), rev, memory_space=pltpu.VMEM),
@@ -184,21 +196,23 @@ def _bwd_call(xp, lengths_f, w_hh, b_hh, outs, douts, dh_n, interpret,
     return dxp, dw, db.reshape(-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _rnn_layer_cvjp(xp, lengths_f, w_hh, b_hh, interpret, precision, reverse):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _rnn_layer_cvjp(xp, lengths_f, w_hh, b_hh, interpret, precision, reverse,
+                    leak):
     outs, h_n = _fwd_call(xp, lengths_f, w_hh, b_hh, interpret, precision,
-                          reverse)
+                          reverse, leak)
     return outs, h_n
 
 
-def _rnn_layer_fwd(xp, lengths_f, w_hh, b_hh, interpret, precision, reverse):
+def _rnn_layer_fwd(xp, lengths_f, w_hh, b_hh, interpret, precision, reverse,
+                   leak):
     xp, lengths_f, w_hh, b_hh = _vjp.primals(xp, lengths_f, w_hh, b_hh)
     outs, h_n = _fwd_call(xp, lengths_f, w_hh, b_hh, interpret, precision,
-                          reverse)
+                          reverse, leak)
     return (outs, h_n), (xp, lengths_f, w_hh, b_hh, outs)
 
 
-def _rnn_layer_bwd(interpret, precision, reverse, residuals, grads):
+def _rnn_layer_bwd(interpret, precision, reverse, leak, residuals, grads):
     xp, lengths_f, w_hh, b_hh, outs = residuals
     douts, dh_n = grads
     b, hidden = outs.shape[1], outs.shape[2]
@@ -206,7 +220,7 @@ def _rnn_layer_bwd(interpret, precision, reverse, residuals, grads):
         xp, lengths_f, w_hh, b_hh, outs,
         None if _vjp.is_sym_zero(douts) else douts,
         _vjp.dense_small(dh_n, (b, hidden), xp.dtype),
-        interpret, precision, reverse)
+        interpret, precision, reverse, leak)
     return dxp, jnp.zeros_like(lengths_f), dw, db
 
 
@@ -215,7 +229,7 @@ _rnn_layer_cvjp.defvjp(_rnn_layer_fwd, _rnn_layer_bwd,
 
 
 def rnn_layer(xp, lengths, w_hh, b_hh, interpret=False, precision=None,
-              reverse=False):
+              reverse=False, leak=1.0):
     """Masked Elman-RNN layer over time-major projected inputs.
 
     Args:
@@ -225,6 +239,9 @@ def rnn_layer(xp, lengths, w_hh, b_hh, interpret=False, precision=None,
         time-flipped interval [T-len, T).
       w_hh: (H, H) recurrent weights.
       b_hh: (H,) recurrent bias.
+      leak: < 1.0 selects the ESN cell (model.py:444,529-531):
+        h' = (1-leak) h + leak tanh(xp + h W_hh); pass b_hh = 0 and
+        xp = x @ W_ih (ESN has no biases).
 
     Returns (outs (T, B, H), h_n (B, H)) — identical to the scan path in
     models/rnn.run_rnn_layer (forward direction), differentiable through
@@ -232,7 +249,7 @@ def rnn_layer(xp, lengths, w_hh, b_hh, interpret=False, precision=None,
     """
     lengths_f = jnp.asarray(lengths, jnp.float32).reshape(-1, 1)
     return _rnn_layer_cvjp(xp, lengths_f, w_hh,
-                           b_hh, interpret, precision, reverse)
+                           b_hh, interpret, precision, reverse, leak)
 
 
 # ---------------------------------------------------------------------------
@@ -243,7 +260,8 @@ def rnn_layer(xp, lengths, w_hh, b_hh, interpret=False, precision=None,
 
 
 def _fwdf_kernel(xf_ref, xb_ref, len_ref, wih_ref, bih_ref, whh_ref,
-                 bhh_ref, out_ref, hn_ref, h_scr, *, precision=None):
+                 bhh_ref, out_ref, hn_ref, h_scr, *, precision=None,
+                 leak=1.0):
     t = pl.program_id(0)
     nt = pl.num_programs(0)
 
@@ -254,8 +272,9 @@ def _fwdf_kernel(xf_ref, xb_ref, len_ref, wih_ref, bih_ref, whh_ref,
     for d in range(2):
         x_t = xf_ref[0] if d == 0 else xb_ref[0]
         h = h_scr[d]
-        h2 = jnp.tanh(_mxu_dot(x_t, wih_ref[d], precision) + bih_ref[d]
-                      + _mxu_dot(h, whh_ref[d], precision) + bhh_ref[d])
+        u = jnp.tanh(_mxu_dot(x_t, wih_ref[d], precision) + bih_ref[d]
+                     + _mxu_dot(h, whh_ref[d], precision) + bhh_ref[d])
+        h2 = u if leak == 1.0 else (1.0 - leak) * h + leak * u
         m = _span_mask(t, nt, len_ref, reverse=d == 1)
         h = jnp.where(m > 0, h2, h)
         h_scr[d] = h
@@ -269,7 +288,7 @@ def _fwdf_kernel(xf_ref, xb_ref, len_ref, wih_ref, bih_ref, whh_ref,
 def _bwdf_kernel(xr_ref, xf_ref, len_ref, wih_ref, bih_ref, whh_ref,
                  bhh_ref, hprev_ref, dout_ref, dhn_ref,
                  dx0_ref, dx1_ref, dwih_ref, dbih_ref, dwhh_ref,
-                 dbhh_ref, dh_scr, *, precision=None):
+                 dbhh_ref, dh_scr, *, precision=None, leak=1.0):
     """Grid step s handles recurrence position tau = T-1-s of BOTH
     directions (each in its own time axis); same streaming scheme as
     gru_pallas._bwdf_kernel."""
@@ -290,14 +309,17 @@ def _bwdf_kernel(xr_ref, xf_ref, len_ref, wih_ref, bih_ref, whh_ref,
         zero = jnp.zeros_like(hprev_ref[0, d])
         h_prev = jnp.where(first_step, zero, hprev_ref[0, d])
         m = _span_mask(nt - 1 - s, nt, len_ref, reverse=d == 1) > 0
-        h2 = jnp.tanh(
+        u = jnp.tanh(
             _mxu_dot(x_t, wih_ref[d], precision) + bih_ref[d]
             + _mxu_dot(h_prev, whh_ref[d], precision) + bhh_ref[d])
 
         dh = dh_scr[d] + dout_ref[0, d]
-        dpre = jnp.where(m, dh, 0.0) * (1.0 - h2 * h2)
+        dh2 = jnp.where(m, dh, 0.0)
+        dpre = (dh2 if leak == 1.0 else leak * dh2) * (1.0 - u * u)
         dh_prev = (jnp.where(m, 0.0, dh)
                    + _mxu_dot_nt(dpre, whh_ref[d], precision))
+        if leak != 1.0:
+            dh_prev = dh_prev + (1.0 - leak) * dh2
         dx = _mxu_dot_nt(dpre, wih_ref[d], precision)
         if d == 0:
             dx0_ref[0] = dx
@@ -310,7 +332,8 @@ def _bwdf_kernel(xr_ref, xf_ref, len_ref, wih_ref, bih_ref, whh_ref,
         dh_scr[d] = dh_prev
 
 
-def _fwdf_call(x, lengths_f, w_ih, b_ih, w_hh, b_hh, interpret, precision):
+def _fwdf_call(x, lengths_f, w_ih, b_ih, w_hh, b_hh, interpret, precision,
+               leak=1.0):
     t, b, f_dim = x.shape
     hidden = w_hh.shape[1]
     g = w_hh.shape[2]
@@ -325,7 +348,7 @@ def _fwdf_call(x, lengths_f, w_ih, b_ih, w_hh, b_hh, interpret, precision):
                                    (len(shp) - 1),
                                    memory_space=pltpu.VMEM)
     outs, h_n = pl.pallas_call(
-        functools.partial(_fwdf_kernel, precision=precision),
+        functools.partial(_fwdf_kernel, precision=precision, leak=leak),
         grid=(t,),
         in_specs=[fwd((1, b, f_dim)), bwd((1, b, f_dim)),
                   res((b, 1)),
@@ -343,7 +366,7 @@ def _fwdf_call(x, lengths_f, w_ih, b_ih, w_hh, b_hh, interpret, precision):
 
 
 def _bwdf_call(x, lengths_f, w_ih, b_ih, w_hh, b_hh, outs, douts, dh_n,
-               interpret, precision):
+               interpret, precision, leak=1.0):
     t, b, f_dim = x.shape
     hidden = w_hh.shape[1]
     g = w_hh.shape[2]
@@ -371,7 +394,7 @@ def _bwdf_call(x, lengths_f, w_ih, b_ih, w_hh, b_hh, outs, douts, dh_n,
     else:
         dout_spec = rev((1, 2, b, hidden))
     dx0, dx1, dwih, dbih, dwhh, dbhh = pl.pallas_call(
-        functools.partial(_bwdf_kernel, precision=precision),
+        functools.partial(_bwdf_kernel, precision=precision, leak=leak),
         grid=(t,),
         in_specs=[rev((1, b, f_dim)), fwd((1, b, f_dim)),
                   res((b, 1)),
@@ -398,24 +421,24 @@ def _bwdf_call(x, lengths_f, w_ih, b_ih, w_hh, b_hh, outs, douts, dh_n,
             dbhh.reshape(2, -1))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def _rnn_bidir_fused_cvjp(x, lengths_f, w_ih, b_ih, w_hh, b_hh, interpret,
-                          precision):
+                          precision, leak):
     outs, h_n = _fwdf_call(x, lengths_f, w_ih, b_ih, w_hh, b_hh, interpret,
-                           precision)
+                           precision, leak)
     return outs, h_n
 
 
 def _rnn_bidir_fused_fwd(x, lengths_f, w_ih, b_ih, w_hh, b_hh, interpret,
-                         precision):
+                         precision, leak):
     x, lengths_f, w_ih, b_ih, w_hh, b_hh = _vjp.primals(
         x, lengths_f, w_ih, b_ih, w_hh, b_hh)
     outs, h_n = _fwdf_call(x, lengths_f, w_ih, b_ih, w_hh, b_hh, interpret,
-                           precision)
+                           precision, leak)
     return (outs, h_n), (x, lengths_f, w_ih, b_ih, w_hh, b_hh, outs)
 
 
-def _rnn_bidir_fused_bwd(interpret, precision, residuals, grads):
+def _rnn_bidir_fused_bwd(interpret, precision, leak, residuals, grads):
     x, lengths_f, w_ih, b_ih, w_hh, b_hh, outs = residuals
     douts, dh_n = grads
     b, hidden = outs.shape[2], outs.shape[3]
@@ -423,7 +446,7 @@ def _rnn_bidir_fused_bwd(interpret, precision, residuals, grads):
         x, lengths_f, w_ih, b_ih, w_hh, b_hh, outs,
         None if _vjp.is_sym_zero(douts) else douts,
         _vjp.dense_small(dh_n, (2, b, hidden), x.dtype),
-        interpret, precision)
+        interpret, precision, leak)
     return dx, jnp.zeros_like(lengths_f), dwih, dbih, dwhh, dbhh
 
 
@@ -432,7 +455,7 @@ _rnn_bidir_fused_cvjp.defvjp(_rnn_bidir_fused_fwd, _rnn_bidir_fused_bwd,
 
 
 def rnn_layer_bidir_fused(x, lengths, w_ih, b_ih, w_hh, b_hh,
-                          interpret=False, precision=None):
+                          interpret=False, precision=None, leak=1.0):
     """Fully fused bidirectional masked Elman-RNN layer over RAW inputs.
 
     Args:
@@ -442,6 +465,8 @@ def rnn_layer_bidir_fused(x, lengths, w_ih, b_ih, w_hh, b_hh,
         synthesized in-kernel (direction 1 = time-flipped; same layout
         as lstm_layer_bidir_fused).
       w_ih: (2, F, H); b_ih: (2, H); w_hh: (2, H, H); b_hh: (2, H).
+      leak: < 1.0 selects the ESN cell (model.py:444,529-531); pass zero
+        biases (ESN has none).
 
     Returns (outs (T, 2, B, H) — direction 1 in ITS OWN (flipped) time
     order, h_n (2, B, H)); numerically matches
@@ -450,4 +475,4 @@ def rnn_layer_bidir_fused(x, lengths, w_ih, b_ih, w_hh, b_hh,
     """
     lengths_f = jnp.asarray(lengths, jnp.float32).reshape(-1, 1)
     return _rnn_bidir_fused_cvjp(x, lengths_f, w_ih, b_ih,
-                                 w_hh, b_hh, interpret, precision)
+                                 w_hh, b_hh, interpret, precision, leak)

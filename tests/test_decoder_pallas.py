@@ -771,3 +771,232 @@ def test_bf16_stream_dtype_contract():
             assert np.isfinite(bb).all()
             rel = np.max(np.abs(a - bb)) / (np.max(np.abs(a)) + 1e-9)
             assert 0 < rel < 5e-2  # bf16 rounding scale, and really bf16
+
+
+# ---------------------------------------------------------------------------
+# ESN kernel (-R ESN: leaky-tanh Elman with frozen, bias-free reservoir,
+# model.py:444,488,529-531) — the leak-generalized Elman kernels
+# ---------------------------------------------------------------------------
+
+H_ESN = 16  # tiny reservoirs (H=8) can be nilpotent -> radius-0 NaN init
+LEAK = 0.7
+
+
+def setup_esn():
+    cfg = DecoderConfig(output_size=F, rnn_hidden_size=H_ESN,
+                        mlp_hidden_size=M, feature_size=4, rnn_type="ESN",
+                        esn_leak=LEAK)
+    params = dec.decoder_init(jax.random.PRNGKey(17), cfg)
+    assert not np.isnan(
+        np.asarray(params["rnn_cell"]["w_hh"])).any()
+    rng = np.random.default_rng(18)
+    h0 = jnp.asarray(rng.normal(size=(B, H_ESN)).astype(np.float32))
+    c0 = jnp.zeros((B, H_ESN), jnp.float32)
+    lengths = jnp.asarray([T, 4, 2])
+    mask = jnp.arange(T)[None, :] < lengths[:, None]
+    key = jax.random.PRNGKey(19)
+    return cfg, params, h0, c0, mask, key
+
+
+def esn_kernel_inputs(cfg, params, h0, mask, key):
+    from seq2seq_abcd_vae_tpu import distributions as dist
+    d = dist.choose_distribution(cfg.emission_distr_name)
+    cell = params["rnn_cell"]
+    em = params["emission_sampler"]["to_parameters"]
+    t = mask.shape[1]
+    lengths = jnp.sum(mask.astype(jnp.float32), axis=1)
+    k_noise, _ = jax.random.split(key)
+    noise_t = d.noise(k_noise, (t, B, F), h0.dtype)
+    w1 = em["lin1"]["w"]
+    k, h_in, m = w1.shape
+    w1_flat = jnp.moveaxis(w1, 0, 1).reshape(h_in, k * m)
+    w_cat = jnp.concatenate([cell["w_hh"], w1_flat], axis=1)
+    return dict(
+        noise=noise_t, lengths=lengths,
+        w_cat=w_cat, bias=jnp.zeros((cfg.rnn_hidden_size,), jnp.float32),
+        b1_flat=em["lin1"]["b"].reshape(-1),
+        w2_mean=em["lin2"]["w"][0], w2_logvar=em["lin2"]["w"][1],
+        b2_flat=em["lin2"]["b"].reshape(-1),
+        w_ih=cell["w_ih"], h0=h0, leak=LEAK)
+
+
+def test_esn_forward_matches_scan():
+    cfg, params, h0, c0, mask, key = setup_esn()
+    rnn_out, _, _ = dec._run_direction(
+        cfg, params["rnn_cell"], params["emission_sampler"], h0, c0, mask,
+        key, True, "sample")
+    ki = esn_kernel_inputs(cfg, params, h0, mask, key)
+    outs = decoder_pallas.rnn_decoder_loop(interpret=True, **ki)
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(outs, 0, 1)),
+                               np.asarray(rnn_out), rtol=2e-5, atol=2e-6)
+
+
+def test_esn_gradients_match_scan():
+    """Gradient parity of the leak kernel VJP vs the scan path, including
+    the (1-leak) carry-through term.  The raw kernel (no decoder_apply
+    stop_gradient) must agree on ALL cotangents, reservoir included."""
+    cfg, params, h0, c0, mask, key = setup_esn()
+
+    def loss_scan(cell, emsampler, h0):
+        rnn_out, _, _ = dec._run_direction(cfg, cell, emsampler, h0, c0,
+                                           mask, key, True, "sample")
+        return jnp.sum(rnn_out * jnp.tanh(rnn_out))
+
+    def loss_kernel(cell, emsampler, h0):
+        p2 = dict(params)
+        p2["rnn_cell"] = cell
+        p2["emission_sampler"] = emsampler
+        ki = esn_kernel_inputs(cfg, p2, h0, mask, key)
+        outs = decoder_pallas.rnn_decoder_loop(interpret=True, **ki)
+        rnn_out = jnp.swapaxes(outs, 0, 1)
+        return jnp.sum(rnn_out * jnp.tanh(rnn_out))
+
+    args = (params["rnn_cell"], params["emission_sampler"], h0)
+    g_scan = jax.grad(loss_scan, argnums=(0, 1, 2))(*args)
+    g_kern = jax.grad(loss_kernel, argnums=(0, 1, 2))(*args)
+    flat_s, _ = jax.tree_util.tree_flatten(g_scan)
+    flat_k, _ = jax.tree_util.tree_flatten(g_kern)
+    assert len(flat_s) == len(flat_k)
+    for a, b in zip(flat_s, flat_k):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def _esn_apply_with_backend(params, cfg, feats, lengths, gt, off, *,
+                            backend, loss_only=False, fused_cells=None,
+                            bidirectional_key=5):
+    import os
+
+    from seq2seq_abcd_vae_tpu.utils import backend_select
+
+    old = os.environ.get("SEQ2SEQ_RNN_BACKEND")
+    old_cells = os.environ.get("SEQ2SEQ_FUSED_CELLS")
+    os.environ["SEQ2SEQ_RNN_BACKEND"] = backend
+    if fused_cells is not None:
+        os.environ["SEQ2SEQ_FUSED_CELLS"] = fused_cells
+    backend_select.resolve_rnn_backend.cache_clear()
+    try:
+        return dec.decoder_apply(
+            params, cfg, feats, lengths, T, ground_truth_out=gt,
+            ground_truth_offset=off, key=jax.random.PRNGKey(bidirectional_key),
+            deterministic=False, emission_mode="sample",
+            loss_only=loss_only)
+    finally:
+        if old is None:
+            del os.environ["SEQ2SEQ_RNN_BACKEND"]
+        else:
+            os.environ["SEQ2SEQ_RNN_BACKEND"] = old
+        if fused_cells is not None:
+            if old_cells is None:
+                del os.environ["SEQ2SEQ_FUSED_CELLS"]
+            else:
+                os.environ["SEQ2SEQ_FUSED_CELLS"] = old_cells
+        backend_select.resolve_rnn_backend.cache_clear()
+
+
+def test_esn_dispatch_through_decoder_apply():
+    cfg, params, _, _, _, _ = setup_esn()
+    rng = np.random.default_rng(20)
+    feats = jnp.asarray(rng.normal(size=(B, 4)).astype(np.float32))
+    lengths = jnp.asarray([T, 4, 2])
+    gt = jnp.asarray(rng.normal(size=(B, T, F)).astype(np.float32))
+    off = np.zeros((B, T), np.float32)
+    off[np.arange(B), np.asarray(lengths) - 1] = 1.0
+    off = jnp.asarray(off)
+
+    a = _esn_apply_with_backend(params, cfg, feats, lengths, gt, off,
+                                backend="scan")
+    b = _esn_apply_with_backend(params, cfg, feats, lengths, gt, off,
+                                backend="pallas")
+    np.testing.assert_allclose(float(b.emission_loss),
+                               float(a.emission_loss), rtol=1e-4)
+    np.testing.assert_allclose(float(b.offset_loss),
+                               float(a.offset_loss), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(b.out), np.asarray(a.out),
+                               rtol=2e-4, atol=2e-5)
+
+    # reservoir stays frozen on BOTH backends (decoder_apply
+    # stop_gradient; reference model.py:376,396)
+    for backend in ("scan", "pallas"):
+        g = jax.grad(lambda p: float(0) + _esn_apply_with_backend(
+            p, cfg, feats, lengths, gt, off,
+            backend=backend).emission_loss)(params)
+        np.testing.assert_array_equal(np.asarray(g["rnn_cell"]["w_ih"]), 0.0)
+        np.testing.assert_array_equal(np.asarray(g["rnn_cell"]["w_hh"]), 0.0)
+
+
+def test_esn_fused_losses_match_scan():
+    """SEQ2SEQ_FUSED_CELLS admitting ESN routes loss_only=True through
+    rnn_decoder_loop_fused_losses with leak<1: losses and parameter
+    gradients must match the scan path, with no dead streams."""
+    cfg, params, _, _, _, _ = setup_esn()
+    rng = np.random.default_rng(23)
+    feats = jnp.asarray(rng.normal(size=(B, 4)).astype(np.float32))
+    lengths = jnp.asarray([T, 4, 2])
+    gt = jnp.asarray(rng.normal(size=(B, T, F)).astype(np.float32))
+    off = np.zeros((B, T), np.float32)
+    off[np.arange(B), np.asarray(lengths) - 1] = 1.0
+    off = jnp.asarray(off)
+
+    scan_o = _esn_apply_with_backend(params, cfg, feats, lengths, gt, off,
+                                     backend="scan")
+    fused_o = _esn_apply_with_backend(params, cfg, feats, lengths, gt, off,
+                                      backend="pallas", loss_only=True,
+                                      fused_cells="GRU,RNN,ESN")
+    assert fused_o.out is None
+    assert fused_o.emission_params == ()
+    assert fused_o.offset_weights is None
+    np.testing.assert_allclose(float(fused_o.emission_loss),
+                               float(scan_o.emission_loss), rtol=1e-4)
+    np.testing.assert_allclose(float(fused_o.offset_loss),
+                               float(scan_o.offset_loss), rtol=1e-4)
+
+    def loss(p, backend, loss_only, cells):
+        o = _esn_apply_with_backend(p, cfg, feats, lengths, gt, off,
+                                    backend=backend, loss_only=loss_only,
+                                    fused_cells=cells)
+        return 0.37 * o.emission_loss + 0.61 * o.offset_loss
+
+    g_scan = jax.grad(lambda p: loss(p, "scan", False, None))(params)
+    g_fused = jax.grad(lambda p: loss(p, "pallas", True,
+                                      "GRU,RNN,ESN"))(params)
+    flat_s, _ = jax.tree_util.tree_flatten(g_scan)
+    flat_k, _ = jax.tree_util.tree_flatten(g_fused)
+    assert len(flat_s) == len(flat_k)
+    for a, b in zip(flat_s, flat_k):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_esn_bidirectional_backends_agree():
+    """Bidirectional ESN: the forward leg may take the kernel (prefix
+    mask) but the reverse leg's suffix mask must force the scan —
+    decoder_apply must agree between backends."""
+    cfg = DecoderConfig(output_size=F, rnn_hidden_size=H_ESN,
+                        mlp_hidden_size=M, feature_size=4, rnn_type="ESN",
+                        esn_leak=LEAK, bidirectional=True)
+    params = dec.decoder_init(jax.random.PRNGKey(29), cfg)
+    assert not np.isnan(np.asarray(params["rnn_cell"]["w_hh"])).any()
+    assert not np.isnan(
+        np.asarray(params["rnn_cell_reverse"]["w_hh"])).any()
+    rng = np.random.default_rng(30)
+    feats = jnp.asarray(rng.normal(size=(B, 4)).astype(np.float32))
+    lengths = jnp.asarray([T, 4, 2])
+    gt = jnp.asarray(rng.normal(size=(B, T, F)).astype(np.float32))
+    off = np.zeros((B, T), np.float32)
+    off[np.arange(B), np.asarray(lengths) - 1] = 1.0
+    off = jnp.asarray(off)
+
+    a = _esn_apply_with_backend(params, cfg, feats, lengths, gt, off,
+                                backend="scan")
+    b = _esn_apply_with_backend(params, cfg, feats, lengths, gt, off,
+                                backend="pallas")
+    np.testing.assert_allclose(float(b.emission_loss),
+                               float(a.emission_loss), rtol=1e-4)
+    np.testing.assert_allclose(float(b.offset_loss),
+                               float(a.offset_loss), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(b.out), np.asarray(a.out),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(b.out_reverse),
+                               np.asarray(a.out_reverse), rtol=2e-4,
+                               atol=2e-5)

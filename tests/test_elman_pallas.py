@@ -158,3 +158,151 @@ def test_bidir_gradient_parity(rng):
                     jax.tree_util.tree_leaves(g_kern)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# ESN layers: the same kernels with static leak < 1 and zero biases
+# (reference model.py:444,529-531); dispatched from models/esn.py.
+# ---------------------------------------------------------------------------
+
+LEAK = 0.7
+
+
+def _esn_setup(rng, t=7, b=3, in_size=5, hidden=16):
+    from seq2seq_abcd_vae_tpu.models import esn as esn_mod
+
+    p_f = esn_mod.esn_layer_init(jax.random.PRNGKey(4), in_size, hidden)
+    p_b = esn_mod.esn_layer_init(jax.random.PRNGKey(5), in_size, hidden)
+    assert not np.isnan(np.asarray(p_f["w_hh"])).any()
+    assert not np.isnan(np.asarray(p_b["w_hh"])).any()
+    x = jnp.asarray(rng.normal(size=(b, t, in_size)).astype(np.float32))
+    lengths = jnp.asarray([t, 4, 2][:b], jnp.int32)
+    mask = rnn_mod.lengths_to_mask(lengths, t)
+    return p_f, p_b, x, mask
+
+
+def _esn_layer_with_backend(params, x, mask, backend, reverse=False):
+    import os
+
+    from seq2seq_abcd_vae_tpu.models import esn as esn_mod
+    from seq2seq_abcd_vae_tpu.utils.backend_select import SELECTOR
+
+    old = os.environ.get("SEQ2SEQ_RNN_BACKEND")
+    os.environ["SEQ2SEQ_RNN_BACKEND"] = backend
+    SELECTOR.reset()
+    try:
+        return esn_mod.run_esn_layer(params, x, mask, LEAK, reverse=reverse)
+    finally:
+        if old is None:
+            del os.environ["SEQ2SEQ_RNN_BACKEND"]
+        else:
+            os.environ["SEQ2SEQ_RNN_BACKEND"] = old
+        SELECTOR.reset()
+
+
+def test_esn_layer_forward_parity_both_directions(rng):
+    p_f, _, x, mask = _esn_setup(rng)
+    for reverse in (False, True):
+        want_outs, want_hn = _esn_layer_with_backend(p_f, x, mask, "scan",
+                                                     reverse)
+        outs, h_n = _esn_layer_with_backend(p_f, x, mask, "pallas", reverse)
+        np.testing.assert_allclose(np.asarray(outs), np.asarray(want_outs),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"reverse={reverse}")
+        np.testing.assert_allclose(np.asarray(h_n), np.asarray(want_hn),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_esn_layer_input_gradient_parity(rng):
+    """dx through the leak kernel equals the scan path's; the reservoir
+    weights get exactly zero grads on BOTH paths (frozen upstream)."""
+    p_f, _, x, mask = _esn_setup(rng)
+
+    def loss(backend, params, x):
+        outs, h_n = _esn_layer_with_backend(params, x, mask, backend)
+        return jnp.sum(outs * jnp.tanh(outs)) + jnp.sum(h_n * h_n)
+
+    for backend in ("scan", "pallas"):
+        gw = jax.grad(lambda p: loss(backend, p, x))(p_f)
+        np.testing.assert_array_equal(np.asarray(gw["w_ih"]), 0.0)
+        np.testing.assert_array_equal(np.asarray(gw["w_hh"]), 0.0)
+    gx_s = jax.grad(lambda xx: loss("scan", p_f, xx))(x)
+    gx_k = jax.grad(lambda xx: loss("pallas", p_f, xx))(x)
+    np.testing.assert_allclose(np.asarray(gx_k), np.asarray(gx_s),
+                               rtol=5e-4, atol=1e-5)
+
+
+def _esn_bidir_with_backend(p_f, p_b, x, mask, backend):
+    import os
+
+    from seq2seq_abcd_vae_tpu.models import esn as esn_mod
+
+    old = os.environ.get("SEQ2SEQ_ENCODER_BACKEND")
+    os.environ["SEQ2SEQ_ENCODER_BACKEND"] = backend
+    try:
+        return esn_mod.run_esn_layer_bidir(p_f, p_b, x, mask, LEAK)
+    finally:
+        if old is None:
+            del os.environ["SEQ2SEQ_ENCODER_BACKEND"]
+        else:
+            os.environ["SEQ2SEQ_ENCODER_BACKEND"] = old
+
+
+def test_esn_bidir_fused_parity(rng):
+    p_f, p_b, x, mask = _esn_setup(rng)
+    sf, sb, shf, shb = _esn_bidir_with_backend(p_f, p_b, x, mask, "scan")
+    kf, kb, khf, khb = _esn_bidir_with_backend(p_f, p_b, x, mask, "pallas")
+    for s, k, name in ((sf, kf, "outs_f"), (sb, kb, "outs_b"),
+                       (shf, khf, "h_f"), (shb, khb, "h_b")):
+        np.testing.assert_allclose(np.asarray(k), np.asarray(s), rtol=1e-5,
+                                   atol=1e-6, err_msg=name)
+
+    def loss(backend, x):
+        of, ob, hf, hb = _esn_bidir_with_backend(p_f, p_b, x, mask, backend)
+        return jnp.sum(of * jnp.tanh(ob)) + jnp.sum(hf * hb)
+
+    gx_s = jax.grad(lambda xx: loss("scan", xx))(x)
+    gx_k = jax.grad(lambda xx: loss("pallas", xx))(x)
+    np.testing.assert_allclose(np.asarray(gx_k), np.asarray(gx_s),
+                               rtol=5e-4, atol=1e-5)
+
+
+def test_esn_encoder_backends_agree(rng):
+    """Full stacked bidirectional ESN encoder through encoder_apply:
+    scan vs kernels, forward and input gradient."""
+    import os
+
+    from seq2seq_abcd_vae_tpu.configs import EncoderConfig
+    from seq2seq_abcd_vae_tpu.models import encoder as enc
+    from seq2seq_abcd_vae_tpu.utils.backend_select import SELECTOR
+
+    cfg = EncoderConfig(5, 16, rnn_type="ESN", bidirectional=True,
+                        esn_leak=LEAK, rnn_layers=2)
+    params = enc.encoder_init(jax.random.PRNGKey(6), cfg)
+    for layer in params["layers"]:
+        for d in layer.values():
+            assert not np.isnan(np.asarray(d["w_hh"])).any()
+    x = jnp.asarray(rng.normal(size=(3, 7, 5)).astype(np.float32))
+    lengths = jnp.asarray([7, 5, 2], jnp.int32)
+
+    def run(backend, xx):
+        old = os.environ.get("SEQ2SEQ_RNN_BACKEND")
+        os.environ["SEQ2SEQ_RNN_BACKEND"] = backend
+        SELECTOR.reset()
+        try:
+            return enc.encoder_apply(params, cfg, xx, lengths)
+        finally:
+            if old is None:
+                del os.environ["SEQ2SEQ_RNN_BACKEND"]
+            else:
+                os.environ["SEQ2SEQ_RNN_BACKEND"] = old
+            SELECTOR.reset()
+
+    a = run("scan", x)
+    b = run("pallas", x)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5,
+                               atol=1e-6)
+    gx_s = jax.grad(lambda xx: jnp.sum(run("scan", xx) ** 2))(x)
+    gx_k = jax.grad(lambda xx: jnp.sum(run("pallas", xx) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gx_k), np.asarray(gx_s),
+                               rtol=5e-4, atol=1e-5)
