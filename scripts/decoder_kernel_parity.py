@@ -9,7 +9,7 @@ gradients against the scan path.  A silent mismatch here would corrupt
 training whenever backend auto-selection picks 'pallas'.
 
 Usage: python scripts/decoder_kernel_parity.py [B] [T] [H] [F] [CELLS]
-  CELLS: comma list, default "LSTM,GRU,RNN"
+  CELLS: comma list, default "LSTM,GRU,RNN,ESN"
 Prints one JSON line per cell type with max-abs diffs and a pass flag.
 """
 
@@ -38,8 +38,11 @@ def run_cell(rnn_type: str, b: int, t: int, h: int, f: int):
 
     cfg = dec.DecoderConfig(output_size=f, rnn_hidden_size=h,
                             mlp_hidden_size=h, feature_size=16,
-                            rnn_type=rnn_type)
+                            rnn_type=rnn_type,
+                            esn_leak=0.7 if rnn_type == "ESN" else 1.0)
     params = dec.decoder_init(jax.random.PRNGKey(3), cfg)
+    if rnn_type == "ESN":
+        assert not np.isnan(np.asarray(params["rnn_cell"]["w_hh"])).any()
     rng = np.random.default_rng(11)
     feats = jnp.asarray(rng.normal(size=(b, 16)).astype(np.float32))
     lengths = np.full((b,), t, np.int32)
@@ -88,13 +91,14 @@ def run_cell(rnn_type: str, b: int, t: int, h: int, f: int):
     diffs["grad_rel"] = gmax
     ok = diffs["loss"] < 1e-4 and diffs["out"] < 5e-3 and gmax < 2e-3
 
-    if rnn_type in ("LSTM", "GRU", "RNN"):
+    if rnn_type in ("LSTM", "GRU", "RNN", "ESN"):
         # the fused in-kernel-loss training path (loss_only=True routes
-        # through decoder_loop_fused_losses / gru_...): loss + grads vs
-        # scan.  GRU/RNN fused dispatch defaults ON (evidence this probe
-        # produced: PROFILE_r04.json); set the allowlist explicitly so
-        # the probe stays meaningful under any ambient env.
-        os.environ["SEQ2SEQ_FUSED_CELLS"] = "GRU,RNN"
+        # through decoder_loop_fused_losses / gru_... / the leak
+        # kernel): loss + grads vs scan.  GRU/RNN fused dispatch
+        # defaults ON (evidence this probe produced: PROFILE_r04.json);
+        # set the allowlist explicitly so the probe stays meaningful
+        # under any ambient env.
+        os.environ["SEQ2SEQ_FUSED_CELLS"] = "GRU,RNN,ESN"
         os.environ["SEQ2SEQ_RNN_BACKEND"] = "pallas"
         backend_select.resolve_rnn_backend.cache_clear()
         vg = jax.jit(jax.value_and_grad(
@@ -203,7 +207,7 @@ def main():
     t = int(args[1]) if len(args) > 1 else 33
     h = int(args[2]) if len(args) > 2 else 256
     f = int(args[3]) if len(args) > 3 else 65
-    cells = (args[4] if len(args) > 4 else "LSTM,GRU,RNN").split(",")
+    cells = (args[4] if len(args) > 4 else "LSTM,GRU,RNN,ESN").split(",")
     import jax
 
     platform = jax.devices()[0].platform
