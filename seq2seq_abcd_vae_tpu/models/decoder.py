@@ -241,6 +241,7 @@ def _run_direction(cfg: DecoderConfig, cell_params: dict,
         return rnn_out, em_params, out
 
     if (cfg.rnn_type in ("LSTM", "GRU", "RNN", "ESN")
+            and (cfg.rnn_type != "ESN" or esn_mod.kernels_enabled())
             and emission_mode == "sample"
             and mask_is_prefix
             and drop_t is None

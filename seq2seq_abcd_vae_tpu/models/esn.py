@@ -72,6 +72,19 @@ def esn_init(key: jax.Array, input_size: int, hidden_size: int,
     return {"layers": layers}
 
 
+def kernels_enabled() -> bool:
+    """Admit the leak-generalized Elman Pallas kernels for ESN paths.
+
+    Default OFF (scan) until on-hardware parity rows land in
+    PROFILE_r04 — same evidence-gated rollout the GRU/Elman fused-loss
+    kernels followed in round 4.  Interpret-mode parity is already
+    pinned (test_elman_pallas.py, test_decoder_pallas.py), which force
+    this flag on.  Set SEQ2SEQ_ESN_KERNELS=1 to opt in.
+    """
+    import os
+    return os.environ.get("SEQ2SEQ_ESN_KERNELS", "0") == "1"
+
+
 def esn_step(params: dict, x: jax.Array, h: jax.Array,
              leak: float) -> jax.Array:
     w_ih = jax.lax.stop_gradient(params["w_ih"])
@@ -97,7 +110,7 @@ def run_esn_layer(params: dict, x: jax.Array, mask: jax.Array, leak: float,
     xp = x @ w_ih  # hoisted input matmul (model.py:430)
     xp_t = jnp.swapaxes(xp, 0, 1)
     from . import rnn as rnn_mod
-    if rnn_mod.resolved_backend() == "pallas":
+    if rnn_mod.resolved_backend() == "pallas" and kernels_enabled():
         from ..ops import elman_pallas
         lengths = jnp.sum(mask.astype(jnp.float32), axis=1)
         interpret = jax.default_backend() != "tpu"
@@ -138,9 +151,10 @@ def run_esn_layer_bidir(params_fwd: dict, params_bwd: dict, x: jax.Array,
 
     from . import rnn as rnn_mod
     enc_backend = os.environ.get("SEQ2SEQ_ENCODER_BACKEND", "auto")
-    if (enc_backend == "pallas" or (enc_backend == "auto"
-                                    and rnn_mod.resolved_backend()
-                                    == "pallas")):
+    if kernels_enabled() and (
+            enc_backend == "pallas" or (enc_backend == "auto"
+                                        and rnn_mod.resolved_backend()
+                                        == "pallas")):
         from ..ops import elman_pallas
         hidden = params_fwd["w_hh"].shape[0]
         w_ih = jax.lax.stop_gradient(

@@ -871,7 +871,9 @@ def _esn_apply_with_backend(params, cfg, feats, lengths, gt, off, *,
 
     old = os.environ.get("SEQ2SEQ_RNN_BACKEND")
     old_cells = os.environ.get("SEQ2SEQ_FUSED_CELLS")
+    old_esn = os.environ.get("SEQ2SEQ_ESN_KERNELS")
     os.environ["SEQ2SEQ_RNN_BACKEND"] = backend
+    os.environ["SEQ2SEQ_ESN_KERNELS"] = "1"
     if fused_cells is not None:
         os.environ["SEQ2SEQ_FUSED_CELLS"] = fused_cells
     backend_select.resolve_rnn_backend.cache_clear()
@@ -886,6 +888,10 @@ def _esn_apply_with_backend(params, cfg, feats, lengths, gt, off, *,
             del os.environ["SEQ2SEQ_RNN_BACKEND"]
         else:
             os.environ["SEQ2SEQ_RNN_BACKEND"] = old
+        if old_esn is None:
+            del os.environ["SEQ2SEQ_ESN_KERNELS"]
+        else:
+            os.environ["SEQ2SEQ_ESN_KERNELS"] = old_esn
         if fused_cells is not None:
             if old_cells is None:
                 del os.environ["SEQ2SEQ_FUSED_CELLS"]

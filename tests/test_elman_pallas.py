@@ -168,6 +168,22 @@ def test_bidir_gradient_parity(rng):
 LEAK = 0.7
 
 
+class _esn_kernels_on:
+    """Opt the ESN paths into the kernels (SEQ2SEQ_ESN_KERNELS gate)."""
+
+    def __enter__(self):
+        import os
+        self._old = os.environ.get("SEQ2SEQ_ESN_KERNELS")
+        os.environ["SEQ2SEQ_ESN_KERNELS"] = "1"
+
+    def __exit__(self, *exc):
+        import os
+        if self._old is None:
+            del os.environ["SEQ2SEQ_ESN_KERNELS"]
+        else:
+            os.environ["SEQ2SEQ_ESN_KERNELS"] = self._old
+
+
 def _esn_setup(rng, t=7, b=3, in_size=5, hidden=16):
     from seq2seq_abcd_vae_tpu.models import esn as esn_mod
 
@@ -191,7 +207,9 @@ def _esn_layer_with_backend(params, x, mask, backend, reverse=False):
     os.environ["SEQ2SEQ_RNN_BACKEND"] = backend
     SELECTOR.reset()
     try:
-        return esn_mod.run_esn_layer(params, x, mask, LEAK, reverse=reverse)
+        with _esn_kernels_on():
+            return esn_mod.run_esn_layer(params, x, mask, LEAK,
+                                         reverse=reverse)
     finally:
         if old is None:
             del os.environ["SEQ2SEQ_RNN_BACKEND"]
@@ -240,7 +258,8 @@ def _esn_bidir_with_backend(p_f, p_b, x, mask, backend):
     old = os.environ.get("SEQ2SEQ_ENCODER_BACKEND")
     os.environ["SEQ2SEQ_ENCODER_BACKEND"] = backend
     try:
-        return esn_mod.run_esn_layer_bidir(p_f, p_b, x, mask, LEAK)
+        with _esn_kernels_on():
+            return esn_mod.run_esn_layer_bidir(p_f, p_b, x, mask, LEAK)
     finally:
         if old is None:
             del os.environ["SEQ2SEQ_ENCODER_BACKEND"]
@@ -290,7 +309,8 @@ def test_esn_encoder_backends_agree(rng):
         os.environ["SEQ2SEQ_RNN_BACKEND"] = backend
         SELECTOR.reset()
         try:
-            return enc.encoder_apply(params, cfg, xx, lengths)
+            with _esn_kernels_on():
+                return enc.encoder_apply(params, cfg, xx, lengths)
         finally:
             if old is None:
                 del os.environ["SEQ2SEQ_RNN_BACKEND"]
