@@ -36,6 +36,13 @@ def run_cell(rnn_type: str, b: int, t: int, h: int, f: int):
     # this probe is testing
     jax.config.update("jax_default_matmul_precision", "highest")
 
+    # the ESN dispatch gate (models/esn.py:kernels_enabled) defaults the
+    # leak kernels OFF until this probe's rows land — force them on here
+    # or the "pallas" leg silently falls back to scan and the row is a
+    # vacuous scan-vs-scan compare
+    if rnn_type == "ESN":
+        os.environ["SEQ2SEQ_ESN_KERNELS"] = "1"
+
     cfg = dec.DecoderConfig(output_size=f, rnn_hidden_size=h,
                             mlp_hidden_size=h, feature_size=16,
                             rnn_type=rnn_type,

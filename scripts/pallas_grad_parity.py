@@ -118,6 +118,74 @@ def probe(rnn_type, bidir, b, t, h, f):
             "max_abs_diffs": {k: round(v, 8) for k, v in diffs.items()}}
 
 
+def probe_esn(bidir, b, t, h, f, leak=0.7):
+    """ESN encoder layers: the Elman kernels generalized with a static
+    leak and zero biases (reference model.py:444,529-531).  Reservoir
+    weights are frozen (stop_gradient) so parity is outputs + final
+    states + INPUT gradients (a lower layer's trainable output for
+    stacked ESNs) and exact-zero weight grads on both paths."""
+    import jax
+    import jax.numpy as jnp
+
+    from seq2seq_abcd_vae_tpu.models import esn as esn_mod
+
+    os.environ["SEQ2SEQ_ESN_KERNELS"] = "1"
+    rng = np.random.default_rng(5)
+    p_f = esn_mod.esn_layer_init(jax.random.PRNGKey(0), f, h)
+    p_b = esn_mod.esn_layer_init(jax.random.PRNGKey(1), f, h)
+    x = jnp.asarray(rng.normal(size=(b, t, f)).astype(np.float32))
+    lengths = jnp.asarray(rng.integers(1, t + 1, size=(b,)))
+    lengths = lengths.at[0].set(t)
+    mask = jnp.arange(t)[None, :] < lengths[:, None]
+
+    if bidir:
+        def fwd(x):
+            of, ob, hf, hb = esn_mod.run_esn_layer_bidir(
+                p_f, p_b, x, mask, leak)
+            loss = (jnp.sum(of * jnp.tanh(ob)) * 1e-2
+                    + jnp.sum(hf * hb))
+            return loss, (of + ob, hf + hb)
+    else:
+        def fwd(x):
+            outs, h_n = esn_mod.run_esn_layer(p_f, x, mask, leak)
+            loss = jnp.sum(outs * jnp.tanh(outs)) * 1e-2 + jnp.sum(h_n)
+            return loss, (outs, h_n)
+
+    def run(backend):
+        _force_backend(backend)
+        loss, gx = jax.jit(jax.value_and_grad(
+            lambda xx: fwd(xx)[0]))(x)
+        _, (outs, h_n) = fwd(x)
+        def wloss(p):
+            if bidir:
+                return esn_mod.run_esn_layer_bidir(
+                    p, p_b, x, mask, leak)[0].sum()
+            return esn_mod.run_esn_layer(p, x, mask, leak)[0].sum()
+
+        gw = jax.jit(jax.grad(wloss))(p_f)
+        return dict(loss=float(loss), outs=np.asarray(outs),
+                    h=np.asarray(h_n), gx=np.asarray(gx),
+                    gw_max=max(float(np.max(np.abs(gw["w_ih"]))),
+                               float(np.max(np.abs(gw["w_hh"])))))
+
+    s, p = run("scan"), run("pallas")
+    diffs = {
+        "loss": abs(s["loss"] - p["loss"]) / (abs(s["loss"]) + 1e-9),
+        "outs": float(np.max(np.abs(s["outs"] - p["outs"]))),
+        "h": float(np.max(np.abs(s["h"] - p["h"]))),
+        "grad_x": float(np.max(np.abs(s["gx"] - p["gx"]))),
+        "frozen_w_grad": max(s["gw_max"], p["gw_max"]),
+    }
+    ok = (diffs["outs"] < 1e-3 and diffs["h"] < 1e-3
+          and diffs["grad_x"] < 1e-3 and diffs["loss"] < 1e-5
+          and diffs["frozen_w_grad"] == 0.0)
+    import jax
+    return {"config": f"ESN{'-bidir' if bidir else ''}",
+            "shape": [b, t, h, f], "pass": bool(ok),
+            "platform": jax.devices()[0].platform,
+            "max_abs_diffs": {k: round(v, 8) for k, v in diffs.items()}}
+
+
 def main():
     b, t, h, f = (int(a) for a in (sys.argv[1:] + [8, 37, 256, 65][
         len(sys.argv) - 1:]))
@@ -127,6 +195,10 @@ def main():
             r = probe(rnn_type, bidir, b, t, h, f)
             print(json.dumps(r))
             results.append(r)
+    for bidir in (False, True):
+        r = probe_esn(bidir, b, t, h, f)
+        print(json.dumps(r))
+        results.append(r)
     ok = all(r["pass"] for r in results)
     print(json.dumps({"all_pass": ok,
                       "configs": [r["config"] for r in results]}))

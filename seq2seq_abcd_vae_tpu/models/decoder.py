@@ -658,9 +658,11 @@ def _fused_loss_cells() -> tuple:
     (v5e, 2026-08-19: GRU fused_grad_rel 6.5e-7, fetch-synced wall
     45.0->30.3 ms; Elman 2.4e-6, 37.6->23.1 ms at B=512 T=512 —
     scripts/decoder_kernel_parity.py + scripts/fused_loss_ab.py).
-    Narrow with SEQ2SEQ_FUSED_CELLS="" (empty) for stream-path A/B
-    probes."""
-    raw = os.environ.get("SEQ2SEQ_FUSED_CELLS", "GRU,RNN")
+    ESN rides the Elman fused-loss kernel with a static leak; its
+    hardware rows (fused_loss 0.0, fused_grad_rel 1.21e-6) landed
+    2026-08-19, so it defaults ON with the others.  Narrow with
+    SEQ2SEQ_FUSED_CELLS="" (empty) for stream-path A/B probes."""
+    raw = os.environ.get("SEQ2SEQ_FUSED_CELLS", "GRU,RNN,ESN")
     return tuple(c.strip() for c in raw.split(",") if c.strip())
 
 

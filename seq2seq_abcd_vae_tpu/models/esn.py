@@ -75,14 +75,16 @@ def esn_init(key: jax.Array, input_size: int, hidden_size: int,
 def kernels_enabled() -> bool:
     """Admit the leak-generalized Elman Pallas kernels for ESN paths.
 
-    Default OFF (scan) until on-hardware parity rows land in
-    PROFILE_r04 — same evidence-gated rollout the GRU/Elman fused-loss
-    kernels followed in round 4.  Interpret-mode parity is already
-    pinned (test_elman_pallas.py, test_decoder_pallas.py), which force
-    this flag on.  Set SEQ2SEQ_ESN_KERNELS=1 to opt in.
+    Default ON since the on-hardware parity rows landed in
+    PROFILE_r04.json (v5e, 2026-08-19): encoder uni/bidir outputs
+    bit-equal to scan with input-grad diffs 4.1e-5 / 1e-8 and exactly
+    zero reservoir grads (scripts/pallas_grad_parity.py ESN rows);
+    decoder loop loss diff 0.0, grad_rel 6.8e-7, fused-loss path
+    1.21e-6 (scripts/decoder_kernel_parity.py).  Set
+    SEQ2SEQ_ESN_KERNELS=0 to force the scan path for A/B probes.
     """
     import os
-    return os.environ.get("SEQ2SEQ_ESN_KERNELS", "0") == "1"
+    return os.environ.get("SEQ2SEQ_ESN_KERNELS", "1") == "1"
 
 
 def esn_step(params: dict, x: jax.Array, h: jax.Array,
