@@ -642,11 +642,11 @@ def test_gru_fused_losses_match_scan(monkeypatch):
 
 
 def test_fused_cells_gate(monkeypatch):
-    """GRU/Elman fused-loss dispatch defaults ON (hardware parity + A/B
-    evidence in PROFILE_r04.json); the env allowlist narrows it (empty =
-    stream path) and parses a comma list."""
+    """GRU/Elman/ESN fused-loss dispatch defaults ON (hardware parity +
+    A/B evidence in PROFILE_r04.json); the env allowlist narrows it
+    (empty = stream path) and parses a comma list."""
     monkeypatch.delenv("SEQ2SEQ_FUSED_CELLS", raising=False)
-    assert dec._fused_loss_cells() == ("GRU", "RNN")
+    assert dec._fused_loss_cells() == ("GRU", "RNN", "ESN")
     monkeypatch.setenv("SEQ2SEQ_FUSED_CELLS", "")
     assert dec._fused_loss_cells() == ()
     monkeypatch.setenv("SEQ2SEQ_FUSED_CELLS", "GRU, RNN")
