@@ -35,6 +35,7 @@ def run_leg(cell: str, leg: str, batch: int, bucket: int,
     env.pop("SEQ2SEQ_FUSED_CELLS", None)
     env.pop("SEQ2SEQ_NLL_FUSION", None)
     env.pop("SEQ2SEQ_STREAM_DTYPE", None)
+    env.pop("SEQ2SEQ_ESN_KERNELS", None)
     if leg == "fused":
         pass  # fused is the default for all three cells
     else:  # stream
@@ -69,12 +70,15 @@ def main():
     ap.add_argument("--precision", type=str, default="default")
     ap.add_argument("--out", type=str,
                     default=os.path.join(REPO, "PROFILE_ab.json"))
-    ap.add_argument("--ab", choices=["fusion", "stream_dtype"],
+    ap.add_argument("--ab", choices=["fusion", "stream_dtype", "esn_gate"],
                     default="fusion",
                     help="fusion: stream vs fused-loss kernels. "
                          "stream_dtype: f32 vs bf16 saved carry streams "
                          "(SEQ2SEQ_STREAM_DTYPE) on the fused path — "
-                         "B/A/B legs sd_f32 / sd_bf16 / sd_f32b")
+                         "B/A/B legs sd_f32 / sd_bf16 / sd_f32b. "
+                         "esn_gate: SEQ2SEQ_ESN_KERNELS=0 scan vs the "
+                         "kernel dispatch (use with --cells ESN) — the "
+                         "perf basis for the ESN kernel default")
     args = ap.parse_args()
 
     results = {}
@@ -86,6 +90,10 @@ def main():
         legs = (("sd_f32", "fused", {"SEQ2SEQ_STREAM_DTYPE": "f32"}),
                 ("sd_bf16", "fused", {"SEQ2SEQ_STREAM_DTYPE": "bf16"}),
                 ("sd_f32b", "fused", {"SEQ2SEQ_STREAM_DTYPE": "f32"}))
+    elif args.ab == "esn_gate":
+        legs = (("scan", "fused", {"SEQ2SEQ_ESN_KERNELS": "0"}),
+                ("kernel", "fused", {}),
+                ("scan2", "fused", {"SEQ2SEQ_ESN_KERNELS": "0"}))
     for cell in args.cells:
         for leg, real_leg, extra in legs:
             r = run_leg(cell, real_leg, args.batch, args.bucket,
