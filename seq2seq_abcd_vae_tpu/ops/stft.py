@@ -64,18 +64,42 @@ def bartlett_window(n: int) -> np.ndarray:
     return w.astype(np.float32)
 
 
+def kaiser_window(n: int, beta: float = 12.0) -> np.ndarray:
+    # torch.kaiser_window defaults: periodic=True, beta=12.0.  Periodic
+    # means the denominator half-width is n/2 (symmetric would use
+    # (n-1)/2); i ranges over [0, n).
+    k = np.arange(n, dtype=np.float64)
+    half = n / 2.0
+    arg = beta * np.sqrt(np.clip(1.0 - ((k - half) / half) ** 2, 0.0, None))
+    w = np.i0(arg) / np.i0(beta)
+    return w.astype(np.float32)
+
+
 _WINDOWS = {
     "hann_window": hann_window,
     "hamming_window": hamming_window,
     "blackman_window": blackman_window,
     "bartlett_window": bartlett_window,
+    "kaiser_window": kaiser_window,
 }
 
 
 def get_window(name: str, n: int) -> np.ndarray:
-    """Window by torch attribute name (reference uses getattr(torch, window),
-    ABCD-VAE/modules/data_utils.py:128)."""
-    return _WINDOWS[name](n)
+    """Window by torch attribute name (reference uses getattr(torch, window)
+    with factory defaults, ABCD-VAE/modules/data_utils.py:125-129).
+
+    Any torch window factory name the reference would accept is accepted
+    here: names outside the native registry fall back to calling the
+    torch factory itself (lazy import; torch-cpu is only touched on this
+    cold path), and unknown names raise the same AttributeError the
+    reference raises.
+    """
+    fn = _WINDOWS.get(name)
+    if fn is not None:
+        return fn(n)
+    import torch  # lazy: only for exotic window names
+
+    return getattr(torch, name)(n).numpy().astype(np.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -19,12 +19,31 @@ def torch_stft_amplitude(x, frame_length, step, window_name="hann_window",
 
 
 @pytest.mark.parametrize("window", ["hann_window", "hamming_window",
-                                    "blackman_window", "bartlett_window"])
+                                    "blackman_window", "bartlett_window",
+                                    "kaiser_window"])
 def test_window_parity(window):
     for n in (128, 127, 64):
         ours = stft_ops.get_window(window, n)
         theirs = getattr(torch, window)(n).numpy()
         np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-6)
+
+
+def test_unknown_window_matches_reference_error():
+    # Reference: getattr(torch, name) -> AttributeError for unknown names
+    # (data_utils.py:128).
+    with pytest.raises(AttributeError):
+        stft_ops.get_window("nonexistent_window", 128)
+
+
+def test_kaiser_window_stft_parity(rng):
+    # End-to-end: --fft_window_type kaiser_window through the STFT chain.
+    x = rng.normal(size=4000).astype(np.float32) * 1000.0
+    frame, step = 128, 64
+    ours = np.asarray(stft_ops.stft_single_segment(
+        jnp.asarray(x), frame, step, window="kaiser_window"))
+    theirs = torch_stft_amplitude(x, frame, step,
+                                  window_name="kaiser_window")
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-2)
 
 
 @pytest.mark.parametrize("length", [4000, 6837, 1000])
