@@ -131,11 +131,14 @@ class _LinkModel:
         self.adaptive = adaptive
 
     def observe(self, dt: float, nbytes: int, nbatches: int) -> None:
-        if not self.adaptive:
-            return
+        # rtt/bw estimates are always maintained (they feed the encode
+        # telemetry / ceiling computation); only the chunk re-targeting
+        # is gated on adaptive mode.
         self.rtt = min(self.rtt, dt)
         bw = nbytes / max(dt - self.rtt, 1e-3)
         self.bw = bw if self.bw is None else 0.5 * self.bw + 0.5 * bw
+        if not self.adaptive:
+            return
         per_batch = max(nbytes // max(nbatches, 1), 1)
         target = _RTT_AMORT * self.rtt * self.bw
         self.chunk = int(min(max(round(target / per_batch), 2), 256))
@@ -233,9 +236,20 @@ class Encoder(Learner):
             audio, num_frames, _ = cache.place(batch, staged_pos)
         else:
             audio, num_frames = batch.audio, batch.num_frames
-        return _encode_step(self.params, audio, num_frames,
-                            statics=statics,
-                            bucket_frames=batch.bucket_frames, mode=mode)
+        out = _encode_step(self.params, audio, num_frames,
+                           statics=statics,
+                           bucket_frames=batch.bucket_frames, mode=mode)
+        # Opt-in fetch compression: the tunnel is the encode bound, and
+        # the (N, K) f32 value matrix is the dominant payload (~2 MB/pass
+        # at the bench corpus).  SEQ2SEQ_ENCODE_FETCH_DTYPE=bf16 halves
+        # it by casting on device and widening back on host.  NOT the
+        # default: the CSV text then carries bf16-rounded values, which
+        # breaks byte-identity with the reference's f32 melt chain
+        # (encode.py:46-55) — a bench/throughput lever, not the contract.
+        if (os.environ.get("SEQ2SEQ_ENCODE_FETCH_DTYPE") == "bf16"
+                and mode != "params"):
+            out = out.astype(jnp.bfloat16)
+        return out
 
     @staticmethod
     def _fetch(batch: RawBatch, out, mode: str):
@@ -269,11 +283,23 @@ class Encoder(Learner):
         adaptive = chunk is None
         if adaptive:
             chunk = 8  # opening guess; re-targeted after each flush
+        # Per-pass link telemetry, published on the Encoder so callers
+        # (bench.py) can compute the pass's link-bound throughput ceiling
+        # next to the measured number: bytes actually fetched, fetch
+        # count (each pays the tunnel's fixed round-trip), cumulative
+        # fetch wall, the link model's rtt/bw estimates, and the
+        # up-front index-staging wall.  Updated in place as the
+        # generator runs; final after the pass completes.
+        stats = {"fetched_bytes": 0, "flushes": 0, "fetch_s": 0.0,
+                 "stage_s": 0.0, "rtt_est_s": None, "bw_est_Bps": None}
+        self.last_encode_stats = stats
         cache = self._cache_for(dataloader)
         if cache is not None:
             dataloader.skip_audio = True
             epoch = list(dataloader)  # index-only batches
+            t0 = _time.perf_counter()
             staged = cache.stage_epoch(epoch)  # one transfer up front
+            stats["stage_s"] = _time.perf_counter() - t0
             stream = iter(zip(epoch, staged))
         else:
             stream = ((b, None) for b in dataloader)
@@ -298,7 +324,15 @@ class Encoder(Learner):
                                   if len(outs) > 1 else outs[0])
                 rows_of = [o.shape[0] for o in outs]
                 nbytes = cats.nbytes
-            link.observe(_time.perf_counter() - t0, nbytes, len(batches))
+                if cats.dtype != np.float32:  # bf16-fetch lever: widen
+                    cats = cats.astype(np.float32)
+            dt = _time.perf_counter() - t0
+            link.observe(dt, nbytes, len(batches))
+            stats["fetched_bytes"] += nbytes
+            stats["flushes"] += 1
+            stats["fetch_s"] += dt
+            stats["rtt_est_s"] = link.rtt
+            stats["bw_est_Bps"] = link.bw
             off = 0
             for b, rows in zip(batches, rows_of):
                 n = b.num_real
