@@ -186,3 +186,104 @@ def test_mixed_sample_rate_warns(tmp_path, rng):
         warnings.simplefilter("always")
         p.get_data("train")
     assert any("fs=" in str(x.message) for x in w)
+
+
+# ------------------------------------------------------ bucket-edge schemes
+# (round-5: composition-matched edges replace quantile buckets as the
+# padding-waste lever — reference anchor: the per-batch pack_sequence
+# semantics these schemes replace, data_utils.py:150-185)
+
+def _row_waste(counts, edges):
+    """Padded-frame waste fraction if each row pads to its smallest
+    covering edge (the DataLoader's row->bucket rule)."""
+    counts = np.sort(np.asarray(counts))
+    edges = np.sort(np.asarray(edges))
+    assert edges[-1] >= counts[-1], "edges must cover the longest row"
+    assigned = edges[np.searchsorted(edges, counts, side="left")]
+    return float((assigned - counts).sum() / assigned.sum())
+
+
+def test_optimal_edges_beat_quantile_and_cover():
+    from seq2seq_abcd_vae_tpu.data.batching import (optimal_bucket_edges,
+                                                    quantile_bucket_edges)
+    rng = np.random.default_rng(11)
+    counts = np.concatenate([
+        rng.integers(40, 90, 600),        # dense short mode
+        rng.integers(200, 520, 80),       # sparse long tail
+    ])
+    q = quantile_bucket_edges(counts, num_buckets=6, min_bucket=32)
+    d = optimal_bucket_edges(counts, num_buckets=6, min_bucket=32)
+    assert max(d) >= counts.max()
+    assert all(e % 8 == 0 and e >= 32 for e in d)
+    assert len(d) <= 6
+    assert _row_waste(counts, d) <= _row_waste(counts, q) + 1e-12
+
+
+def test_optimal_edges_match_bruteforce():
+    from itertools import combinations
+
+    from seq2seq_abcd_vae_tpu.data.batching import optimal_bucket_edges
+    rng = np.random.default_rng(3)
+    counts = rng.integers(30, 200, 40)
+    uniq = np.unique(counts)
+    roundup = np.maximum(32, -(-uniq // 8) * 8)
+    K = 3
+
+    def waste_for_cuts(cuts):
+        # cuts: indices into uniq marking the LAST element of each group
+        lo = 0
+        total = 0
+        for c in cuts:
+            grp = (counts >= uniq[lo]) & (counts <= uniq[c])
+            total += (roundup[c] - counts[grp]).sum()
+            lo = c + 1
+        return total
+
+    best = min(
+        waste_for_cuts(cuts + (len(uniq) - 1,))
+        for k in range(K)
+        for cuts in combinations(range(len(uniq) - 1), k))
+    edges = optimal_bucket_edges(counts, num_buckets=K, min_bucket=32)
+    got = (np.sort(edges)[np.searchsorted(np.sort(edges), counts)]
+           - counts).sum()
+    assert got == best
+
+
+def test_chunk_edges_are_band_maxes():
+    from seq2seq_abcd_vae_tpu.data.batching import chunk_optimal_bucket_edges
+    rng = np.random.default_rng(5)
+    counts = rng.integers(40, 400, 257)
+    B = 64
+    s = np.sort(counts)
+    want = sorted({int(max(s[i:i + B].max(), 33))
+                   for i in range(0, len(s), B)})
+    got = chunk_optimal_bucket_edges(counts, batch_size=B,
+                                     num_buckets=16, min_bucket=33)
+    assert got == want
+    assert max(got) >= counts.max()
+
+
+def test_chunk_edges_respect_budget():
+    from seq2seq_abcd_vae_tpu.data.batching import chunk_optimal_bucket_edges
+    rng = np.random.default_rng(9)
+    counts = rng.integers(40, 4000, 2048)
+    got = chunk_optimal_bucket_edges(counts, batch_size=8,
+                                     num_buckets=12, min_bucket=32)
+    assert len(got) <= 12
+    assert max(got) >= counts.max()
+
+
+def test_loader_bucket_policy_env(toy_root, monkeypatch):
+    p = AnnotationParser(str(toy_root), str(toy_root / "ann.csv"))
+    ds = p.get_data("train")
+    fe = FrontendSpec(128, 64)
+    loaders = {}
+    for policy in ("chunk", "quantile", "dp"):
+        monkeypatch.setenv("SEQ2SEQ_BUCKET_POLICY", policy)
+        loaders[policy] = DataLoader(ds, fe, batch_size=2, shuffle=True,
+                                     seed=1)
+    for policy, loader in loaders.items():
+        for batch in loader:
+            real = batch.num_frames[:batch.num_real]
+            assert batch.bucket_frames >= real.max(), policy
+            assert batch.bucket_frames in loader.bucket_edges, policy
