@@ -277,3 +277,36 @@ def test_encode_csv_bytes_match_pandas_chain(abcd_run, toy, tmp_path):
         else:
             df.to_csv(slow, index=False)
     assert fast.read_bytes() == slow.read_bytes()
+
+
+def test_encode_bf16_fetch_and_link_telemetry(abcd_run, toy, tmp_path,
+                                              monkeypatch):
+    """The opt-in SEQ2SEQ_ENCODE_FETCH_DTYPE=bf16 lever (tunnel-bytes
+    compression, infer/encode.py::_dispatch) must keep probs within bf16
+    rounding of the f32 contract path, and every pass must publish the
+    link telemetry bench.py's ceiling computation reads."""
+    from seq2seq_abcd_vae_tpu.data.annotations import AnnotationParser
+    from seq2seq_abcd_vae_tpu.data.batching import DataLoader, FrontendSpec
+    from seq2seq_abcd_vae_tpu.infer.encode import Encoder
+
+    enc = Encoder(str(abcd_run / "checkpoint.pt"))
+    parser = AnnotationParser(str(toy), str(toy / "ann.csv"))
+    ds = parser.get_data()
+    fe = FrontendSpec(128, 64)
+    f32_csv, bf16_csv = tmp_path / "f32.csv", tmp_path / "bf16.csv"
+    enc.encode_dataset(ds, str(f32_csv), fe, 2.0 ** -15, 11.0,
+                       mode="probs", batch_size=3)
+    stats = enc.last_encode_stats
+    assert stats["flushes"] >= 1
+    assert stats["fetched_bytes"] > 0
+    assert stats["fetch_s"] > 0
+
+    monkeypatch.setenv("SEQ2SEQ_ENCODE_FETCH_DTYPE", "bf16")
+    enc.encode_dataset(ds, str(bf16_csv), fe, 2.0 ** -15, 11.0,
+                       mode="probs", batch_size=3)
+    a = pd.read_csv(f32_csv)
+    b = pd.read_csv(bf16_csv)
+    assert (a["data_ix"] == b["data_ix"]).all()
+    np.testing.assert_allclose(b["prob"], a["prob"], rtol=8e-3, atol=1e-4)
+    sums = b.groupby("data_ix")["prob"].sum()
+    assert np.allclose(sums, 1.0, atol=0.02)
