@@ -108,6 +108,17 @@ def main():
                     choices=["LSTM", "GRU", "RNN", "ESN"],
                     help="cell for BOTH encoder and decoder (the "
                          "reference's -R flag sets both)")
+    ap.add_argument("--i16_audio", action="store_true",
+                    help="stage the timing audio as int16 and widen on "
+                         "device (the Learner's real transfer format) — "
+                         "skips the 67 MB f32 upload, which costs ~10 "
+                         "minutes on a degraded tunnel day")
+    ap.add_argument("--bidir_decoder", action="store_true",
+                    help="profile with the bidirectional decoder "
+                         "(reference --bidirectional_decoder, "
+                         "model.py:198-260) — scan path, no fused "
+                         "kernel; the A/B vs the default config prices "
+                         "the mode before parity sweeps adopt it")
     ap.add_argument("--ablate", action="store_true")
     ap.add_argument("--skip_flops", action="store_true",
                     help="skip XLA cost analysis + the scan-lowering "
@@ -133,7 +144,8 @@ def main():
     enc = EncoderConfig(65, 256, rnn_type=args.rnn_type)
     lat = ABCDSamplerConfig(enc.hidden_size_total, 256, 128, 256)
     dec = DecoderConfig(65, 256, 256, 256, num_speakers=2,
-                        speaker_embed_dim=256, rnn_type=args.rnn_type)
+                        speaker_embed_dim=256, rnn_type=args.rnn_type,
+                        bidirectional=args.bidir_decoder)
     cfg = vae.ModelConfig(enc, lat, dec)
     params = vae.model_init(jax.random.PRNGKey(0), cfg)
     tx = optim.make_optimizer(1.0, 0.0, 1.0)
@@ -156,13 +168,18 @@ def main():
     # step time is the number the kernel work should be judged by; the
     # transfer cost is measured separately below.
     from seq2seq_abcd_vae_tpu.utils.sync import wait
-    t0 = time.perf_counter()
-    audio = wait(jax.device_put(audio_host))
-    transfer_s = time.perf_counter() - t0
     audio_i16 = (audio_host * 0.01).astype(np.int16)
     t0 = time.perf_counter()
-    wait(jax.device_put(audio_i16))
+    dev_i16 = wait(jax.device_put(audio_i16))
     transfer_i16_s = time.perf_counter() - t0
+    if args.i16_audio:
+        transfer_s = float("nan")
+        audio = wait(jax.jit(
+            lambda a: a.astype(np.float32) * 100.0)(dev_i16))
+    else:
+        t0 = time.perf_counter()
+        audio = wait(jax.device_put(audio_host))
+        transfer_s = time.perf_counter() - t0
     print(f"host->device audio transfer: f32 {transfer_s * 1e3:8.2f}ms  "
           f"int16 {transfer_i16_s * 1e3:8.2f}ms  "
           f"({audio_host.nbytes / 1e6:.1f} MB f32)")
@@ -222,6 +239,7 @@ def main():
         "device": jax.devices()[0].device_kind,
         "batch": b, "bucket": t, "precision": args.precision,
         "rnn_type": args.rnn_type,
+        "bidir_decoder": args.bidir_decoder,
         "nll_fusion": os.environ.get("SEQ2SEQ_NLL_FUSION", "1"),
         "fused_cells": os.environ.get("SEQ2SEQ_FUSED_CELLS", ""),
         "compile_s": round(compile_s, 2),
@@ -232,7 +250,8 @@ def main():
         "mfu_bf16_peak": None if mfu is None else round(mfu, 5),
         "mfu_model": None if mfu_model is None else round(mfu_model, 5),
         "scan_unroll": os.environ.get("SEQ2SEQ_SCAN_UNROLL", "4"),
-        "transfer_f32_ms": round(transfer_s * 1e3, 3),
+        "transfer_f32_ms": (None if transfer_s != transfer_s
+                            else round(transfer_s * 1e3, 3)),
         "transfer_i16_ms": round(transfer_i16_s * 1e3, 3),
     }
     from seq2seq_abcd_vae_tpu.utils.backend_select import backend_report
