@@ -108,6 +108,13 @@ def main():
                     choices=["LSTM", "GRU", "RNN", "ESN"],
                     help="cell for BOTH encoder and decoder (the "
                          "reference's -R flag sets both)")
+    ap.add_argument("--device_audio", action="store_true",
+                    help="synthesize the timing audio on device "
+                         "(jax.random.normal) — no host upload at all. "
+                         "For step timing only: the transfer telemetry "
+                         "rows are skipped.  The tunnel measured "
+                         "0.03-0.11 MB/s this session, making ANY "
+                         "staging of the 67 MB batch a 10-20 min cost")
     ap.add_argument("--i16_audio", action="store_true",
                     help="stage the timing audio as int16 and widen on "
                          "device (the Learner's real transfer format) — "
@@ -168,18 +175,25 @@ def main():
     # step time is the number the kernel work should be judged by; the
     # transfer cost is measured separately below.
     from seq2seq_abcd_vae_tpu.utils.sync import wait
-    audio_i16 = (audio_host * 0.01).astype(np.int16)
-    t0 = time.perf_counter()
-    dev_i16 = wait(jax.device_put(audio_i16))
-    transfer_i16_s = time.perf_counter() - t0
-    if args.i16_audio:
-        transfer_s = float("nan")
+    if args.device_audio:
+        transfer_s = transfer_i16_s = float("nan")
         audio = wait(jax.jit(
-            lambda a: a.astype(np.float32) * 100.0)(dev_i16))
+            lambda k: jax.random.normal(k, audio_host.shape,
+                                        np.float32) * 1000.0)(
+            jax.random.PRNGKey(1)))
     else:
+        audio_i16 = (audio_host * 0.01).astype(np.int16)
         t0 = time.perf_counter()
-        audio = wait(jax.device_put(audio_host))
-        transfer_s = time.perf_counter() - t0
+        dev_i16 = wait(jax.device_put(audio_i16))
+        transfer_i16_s = time.perf_counter() - t0
+        if args.i16_audio:
+            transfer_s = float("nan")
+            audio = wait(jax.jit(
+                lambda a: a.astype(np.float32) * 100.0)(dev_i16))
+        else:
+            t0 = time.perf_counter()
+            audio = wait(jax.device_put(audio_host))
+            transfer_s = time.perf_counter() - t0
     print(f"host->device audio transfer: f32 {transfer_s * 1e3:8.2f}ms  "
           f"int16 {transfer_i16_s * 1e3:8.2f}ms  "
           f"({audio_host.nbytes / 1e6:.1f} MB f32)")
@@ -252,7 +266,8 @@ def main():
         "scan_unroll": os.environ.get("SEQ2SEQ_SCAN_UNROLL", "4"),
         "transfer_f32_ms": (None if transfer_s != transfer_s
                             else round(transfer_s * 1e3, 3)),
-        "transfer_i16_ms": round(transfer_i16_s * 1e3, 3),
+        "transfer_i16_ms": (None if transfer_i16_s != transfer_i16_s
+                            else round(transfer_i16_s * 1e3, 3)),
     }
     from seq2seq_abcd_vae_tpu.utils.backend_select import backend_report
     report.update(backend_report())

@@ -23,7 +23,7 @@ run_prof() { # run_prof <tag> [args...]
   [ -f "/tmp/r5prof/$tag.json" ] && { echo "skip $tag"; return; }
   echo "=== profile $tag ($(date +%H:%M:%S))"
   timeout 5400 python scripts/profile_step.py --precision default \
-    --i16_audio --trace "/tmp/r5prof/trace_$tag" \
+    --device_audio --trace "/tmp/r5prof/trace_$tag" \
     --out "/tmp/r5prof/$tag.json" "$@" \
     > "/tmp/r5prof/$tag.log" 2>&1 || { echo "FAILED $tag rc=$?"; return; }
   timeout 1200 python scripts/trace_report.py "/tmp/r5prof/trace_$tag" \
