@@ -80,16 +80,23 @@ def main() -> None:
         dev_ms = device_step_ms(os.path.join(d, f"trace_mfu_{cell}.txt"))
         fl = analytic_flops(cell, row["batch"], 256, 65, 256,
                             row["bucket"])
+        # On the pallas backend the XLA-counted FLOPs are exactly the
+        # NON-recurrent work (frontend, ABCD head, losses outside the
+        # kernels, optimizer): every recurrent kernel is an opaque
+        # custom-call.  Total model FLOPs = analytic recurrent
+        # (computed_floor op counts) + XLA-visible remainder.
+        xla_fl = row.get("flops_per_step") or 0.0
+        total_fl = fl + xla_fl
         entry = {
             "wall_step_ms": row["train_step_ms"],
             "device_step_ms": dev_ms,
             "analytic_recurrent_gflops": round(fl / 1e9, 2),
-            "xla_visible_gflops": (round(row["flops_per_step"] / 1e9, 2)
-                                   if row.get("flops_per_step") else None),
+            "xla_visible_gflops": round(xla_fl / 1e9, 2),
+            "total_model_gflops": round(total_fl / 1e9, 2),
             "backend": row.get("rnn_backend"),
         }
         if dev_ms:
-            entry["mfu_analytic"] = round(fl / (dev_ms * 1e-3)
+            entry["mfu_analytic"] = round(total_fl / (dev_ms * 1e-3)
                                           / args.peak, 5)
             entry["segments_per_sec_device"] = round(
                 row["batch"] / (dev_ms * 1e-3), 1)
