@@ -111,6 +111,13 @@ def _tunnel_guard() -> None:
 
 def main():
     _tunnel_guard()
+    # Device-synthesized corpus cache content (timing-only; identical
+    # shapes/compute, garbage values).  Default ON: the corpus upload is
+    # the one multi-MB transfer in the run, and the tunnel's uplink has
+    # been measured as low as 0.03 MB/s (39 MB = ~20 min, enough to trip
+    # the watchdog).  BENCH_DEVICE_SYNTH=0 restores real audio staging.
+    if os.environ.get("BENCH_DEVICE_SYNTH", "1") == "1":
+        os.environ.setdefault("SEQ2SEQ_DEVICE_CACHE_SYNTH", "1")
     num_segments = int(os.environ.get("BENCH_SEGMENTS", 4096))
     batch_size = int(os.environ.get("BENCH_BATCH_SIZE", 512))
     timed_batches = int(os.environ.get("BENCH_BATCHES", 16))
@@ -421,6 +428,8 @@ def main():
         "length_sorted": length_sorted,
         "batching_mode": bmode,
         "device_cache": cache is not None,
+        "device_synth_cache": os.environ.get(
+            "SEQ2SEQ_DEVICE_CACHE_SYNTH") == "1",
         **tunnel,
         "bucket_edges": stats_loader.bucket_edges,
         "frame_waste_frac": round(pad_stats["frame_waste_frac"], 4),

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 
 import jax
 import jax.numpy as jnp
@@ -120,6 +121,8 @@ class DeviceCorpusCache:
         when the corpus cannot be cached (a segment too short to
         reflect-pad — the streaming path raises its diagnostic at the
         batch that hits it, preserving the error surface)."""
+        if os.environ.get("SEQ2SEQ_DEVICE_CACHE_SYNTH") == "1":
+            return cls.build_synthetic(dataset, frontend, device)
         n = len(dataset)
         if n == 0:
             return None
@@ -150,6 +153,65 @@ class DeviceCorpusCache:
             "{dt} on {dev}".format(n=n, mb=rows.nbytes / 1e6,
                                    dt=np.dtype(dtype).name, dev=device))
         return cls(*arrs, frontend, device)
+
+    @classmethod
+    def build_synthetic(cls, dataset, frontend: FrontendSpec, device,
+                        seed: int = 0):
+        """TIMING-ONLY cache build: identical shapes, dtype, stride, and
+        zero-tail layout to :meth:`build`, but the row CONTENT is random
+        int16 noise generated ON the device — only the (N,) metadata
+        rides the tunnel (~KBs) instead of the full corpus (~tens of
+        MB).  Audio values never influence step TIME (the compute graph
+        is data-independent: STFT, matmuls, masked sums), so bench.py
+        uses this under ``SEQ2SEQ_DEVICE_CACHE_SYNTH=1`` to keep the
+        round-end benchmark alive on collapsed-uplink tunnel days
+        (measured 0.03 MB/s; a 39 MB corpus upload = ~20 min).  Loss
+        values and encode CSV contents are garbage by construction —
+        never enable this for training or inference runs."""
+        n = len(dataset)
+        if n == 0:
+            return None
+        pad = frontend.pad if frontend.centering else 0
+        lengths = dataset.lengths_np
+        if frontend.centering and int(lengths.min()) <= pad:
+            return None  # mirror build(): too short to reflect-pad
+        logger.warning(
+            "SEQ2SEQ_DEVICE_CACHE_SYNTH=1: corpus cache content is "
+            "device-synthesized noise (timing-only; losses/encodings "
+            "are meaningless)")
+        row_samples = (lengths + 2 * pad).astype(np.int64)
+        stride = int(-(-int(row_samples.max()) // 128) * 128)
+        frames = _frames_for_lengths(lengths, frontend)
+        # same corpus-wide dtype rule as build(); the decode-once file
+        # cache makes this one host pass per wav, no upload
+        dtype = (np.int16 if all(
+            dataset.segment_raw_pos(p).dtype == np.int16
+            for p in range(n)) else np.float32)
+        row_len_d, frames_d, spk_d = jax.device_put(
+            (row_samples.astype(np.int32), frames,
+             dataset.speakers_np.astype(np.int32)), device)
+
+        @jax.jit
+        def synth(row_len):
+            key = jax.random.PRNGKey(seed)
+            if dtype == np.int16:
+                noise = jax.random.randint(
+                    key, (n, stride), -(1 << 14), 1 << 14,
+                    jnp.int32).astype(jnp.int16)
+            else:
+                noise = jax.random.uniform(
+                    key, (n, stride), jnp.float32, -0.5, 0.5)
+            mask = (jnp.arange(stride, dtype=jnp.int32)[None, :]
+                    < row_len[:, None])
+            return jnp.where(mask, noise, jnp.zeros((), noise.dtype))
+
+        rows = synth(row_len_d)
+        logger.info(
+            "Device-resident corpus cache (SYNTHETIC): {n} segments, "
+            "{mb:.1f} MB {dt} on {dev}".format(
+                n=n, mb=rows.nbytes / 1e6, dt=np.dtype(dtype).name,
+                dev=device))
+        return cls(rows, frames_d, spk_d, frontend, device)
 
     def place(self, batch: RawBatch, staged_pos=None):
         """The device-side equivalent of transferring the host batch:

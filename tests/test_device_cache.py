@@ -115,6 +115,63 @@ def test_short_segment_disables_cache(tmp_path):
     assert DeviceCorpusCache.build(ds, fe, jax.devices("cpu")[0]) is None
 
 
+def test_synthetic_build_matches_layout(corpus, monkeypatch):
+    # bench.py's timing-only cache (SEQ2SEQ_DEVICE_CACHE_SYNTH=1) must
+    # match the real build in every timing-relevant respect — shapes,
+    # dtype, stride, zero tails, frames/speaker metadata — so the
+    # compute graph (and therefore the measured step time) is identical;
+    # only the row CONTENT may differ.
+    import jax
+
+    p = AnnotationParser(str(corpus), str(corpus / "ann.csv"))
+    ds = p.get_data("train")
+    fe = FrontendSpec(128, 64)
+    dev = jax.devices("cpu")[0]
+    real = DeviceCorpusCache.build(ds, fe, dev)
+    monkeypatch.setenv("SEQ2SEQ_DEVICE_CACHE_SYNTH", "1")
+    synth = DeviceCorpusCache.build(ds, fe, dev)  # env-routed
+    assert synth is not None
+    rr, rs = np.asarray(real.rows), np.asarray(synth.rows)
+    assert rr.shape == rs.shape
+    np.testing.assert_array_equal(np.asarray(real.frames),
+                                  np.asarray(synth.frames))
+    np.testing.assert_array_equal(np.asarray(real.speakers),
+                                  np.asarray(synth.speakers))
+    # zero-tail layout: content extent per row equals the real build's
+    pad = fe.pad
+    row_samples = ds.lengths_np + 2 * pad
+    for i, rn in enumerate(row_samples):
+        assert not np.any(rs[i, rn:]), "tail must be zero-filled"
+        assert np.any(rs[i, :rn]), "content must be nonzero noise"
+    # gather through the same jit path produces same-shaped batches
+    loader = DataLoader(ds, fe, batch_size=4, shuffle=False,
+                        batching_mode="bucket_shuffled",
+                        pad_to_batch_size=False)
+    for batch in loader:
+        a1, n1, s1 = real.place(batch)
+        a2, n2, s2 = synth.place(batch)
+        assert a1.shape == a2.shape and a1.dtype == a2.dtype
+        np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_synthetic_build_declines_short_segment(tmp_path, monkeypatch):
+    import jax
+
+    rng = np.random.default_rng(0)
+    wav = (rng.normal(size=FS) * 2000).astype(np.int16)
+    spw.write(tmp_path / "s.wav", FS, wav)
+    df = pd.DataFrame([("s.wav", 0.0, 0.002, "train", "a", "A")],
+                      columns=["input_path", "onset", "offset",
+                               "data_type", "speaker", "label"])
+    df.to_csv(tmp_path / "ann.csv", index=False)
+    p = AnnotationParser(str(tmp_path), str(tmp_path / "ann.csv"))
+    ds = p.get_data("train")
+    monkeypatch.setenv("SEQ2SEQ_DEVICE_CACHE_SYNTH", "1")
+    fe = FrontendSpec(128, 64)
+    assert DeviceCorpusCache.build(ds, fe, jax.devices("cpu")[0]) is None
+
+
 def _train_params(corpus, save_dir, device_corpus_cache):
     learner = Learner(
         input_size=65, encoder_rnn_hidden_size=16,
