@@ -115,10 +115,15 @@ def probe_constants(B: int, H: int, reps: int = 3) -> dict:
 
     def trans_kernel(x_ref, o_ref):
         # serial dependency through o_ref so steps cannot fuse/elide;
-        # 2 transcendentals per element of (B, G)
+        # 2 transcendentals per element of (B, G).  The accumulator is
+        # a FULL-block reduction: the first version of this probe kept
+        # only an (8, 128) slice and Mosaic dead-code-eliminated the
+        # rest of the tanh/sigmoid work (measured c_trans ~1e-18
+        # s/elem, a physical impossibility); a sum() consumes every
+        # element so nothing can be elided.
         v = jnp.tanh(x_ref[...] + o_ref[0, 0])
         v = jax.nn.sigmoid(v)
-        o_ref[...] += v[:8, :128]
+        o_ref[...] += v.sum()
 
     def build_trans(T):
         x = jnp.full((B, G), 0.01, jnp.float32)
@@ -134,9 +139,16 @@ def probe_constants(B: int, H: int, reps: int = 3) -> dict:
         return call, (x,)
 
     def mxu_kernel(w_ref, o_ref):
+        # consume EVERY output column of the dot (sum of the G/H
+        # H-wide chunks): keeping only g[:, :H] let the compiler
+        # narrow the contraction to a quarter of the counted FLOPs,
+        # which biased mxu_smalldot_eff low by the same factor
         g = jnp.dot(o_ref[...], w_ref[...],
                     preferred_element_type=jnp.float32)
-        o_ref[...] += 1e-4 * g[:, :H]
+        acc = g[:, :H]
+        for c in range(1, G // H):
+            acc = acc + g[:, c * H:(c + 1) * H]
+        o_ref[...] += 1e-4 * acc
 
     def build_mxu(T):
         w = jnp.full((H, G), 1e-3, jnp.float32)
