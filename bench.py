@@ -380,6 +380,15 @@ def main():
             "encode_rtt_est_s": round(st.get("rtt_est_s") or 0.0, 4),
             "encode_bw_est_MBps": round(st["bw_est_Bps"] / 2**20, 2),
             "encode_stage_s": round(st.get("stage_s", 0.0), 3),
+            # full wall attribution (the link bound alone does not
+            # explain the pass on RTT-degraded days): host CSV
+            # formatting + whatever remains (device compute waits,
+            # per-batch dispatch, host contention)
+            "encode_format_s": round(st.get("format_s", 0.0), 3),
+            "encode_fetch_s": round(st.get("fetch_s", 0.0), 3),
+            "encode_unattributed_s": round(
+                st.get("wall_s", 0.0) - st.get("stage_s", 0.0)
+                - st.get("fetch_s", 0.0) - st.get("format_s", 0.0), 3),
         }
 
     # bf16-fetch lever probe (halves the fetched value bytes; CSV text

@@ -384,11 +384,16 @@ class Encoder(Learner):
             # so merged text matches the melt+merge+to_csv output exactly
             suffix = _annotation_suffixes(df_ann)
         var_cache: dict = {}
+        format_s = 0.0  # host CSV assembly/write wall (telemetry)
         with open(save_path, "wb") as f:
             f.write((",".join(header) + "\n").encode())
             for batch, values in _prefetch(
                     self._pipelined(dataloader, statics, mode)):
+                t0 = _time.perf_counter()
                 f.write(_format_rows(batch.ixs, values, suffix, var_cache))
+                format_s += _time.perf_counter() - t0
+        if getattr(self, "last_encode_stats", None) is not None:
+            self.last_encode_stats["format_s"] = format_s
 
     def encode_dataset_npz(self, dataset, save_path: str,
                            frontend: FrontendSpec, epsilon: float,
