@@ -70,37 +70,21 @@ def main() -> None:
                  "tunnel-RTT-inflated); mfu_analytic uses the "
                  "computed_floor op-count model over the four recurrent "
                  "kernels — a lower bound (STFT/ABCD head/optimizer "
-                 "excluded)"),
-        "cells": {}, "bidir_ab": {},
+                 "excluded).  'cells' rows use the pallas STFT frontend "
+                 "(the r03/r04 headline-step configuration) when the "
+                 "mfups_* addendum ran; 'cells_fft_frontend' rows are "
+                 "the parity-default fft frontend."),
+        "cells": {}, "cells_fft_frontend": {}, "bidir_ab": {},
     }
     for cell in ("LSTM", "GRU", "RNN", "ESN"):
-        row = load(f"mfu_{cell}")
-        if not row:
-            continue
-        dev_ms = device_step_ms(os.path.join(d, f"trace_mfu_{cell}.txt"))
-        fl = analytic_flops(cell, row["batch"], 256, 65, 256,
-                            row["bucket"])
-        # On the pallas backend the XLA-counted FLOPs are exactly the
-        # NON-recurrent work (frontend, ABCD head, losses outside the
-        # kernels, optimizer): every recurrent kernel is an opaque
-        # custom-call.  Total model FLOPs = analytic recurrent
-        # (computed_floor op counts) + XLA-visible remainder.
-        xla_fl = row.get("flops_per_step") or 0.0
-        total_fl = fl + xla_fl
-        entry = {
-            "wall_step_ms": row["train_step_ms"],
-            "device_step_ms": dev_ms,
-            "analytic_recurrent_gflops": round(fl / 1e9, 2),
-            "xla_visible_gflops": round(xla_fl / 1e9, 2),
-            "total_model_gflops": round(total_fl / 1e9, 2),
-            "backend": row.get("rnn_backend"),
-        }
-        if dev_ms:
-            entry["mfu_analytic"] = round(total_fl / (dev_ms * 1e-3)
-                                          / args.peak, 5)
-            entry["segments_per_sec_device"] = round(
-                row["batch"] / (dev_ms * 1e-3), 1)
-        out["cells"][cell] = entry
+        for tag_prefix, dest in (("mfups_", "cells"),
+                                 ("mfu_", "cells_fft_frontend")):
+            _assemble_cell(load, d, args, out[dest], cell,
+                           tag_prefix + cell)
+    # no addendum ran: promote the fft rows to the headline slot
+    if not out["cells"]:
+        out["cells"] = out.pop("cells_fft_frontend")
+        out["cells_fft_frontend"] = {}
 
     ab = {}
     for tag in ("bidir1", "uni1", "bidir2"):
@@ -123,6 +107,39 @@ def main() -> None:
     with open(os.path.join(REPO, args.out), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
+
+
+def _assemble_cell(load, d, args, dest, cell, tag):
+    row = load(tag)
+    if not row:
+        return
+    dev_ms = device_step_ms(os.path.join(d, f"trace_{tag}.txt"))
+    fl = analytic_flops(cell, row["batch"], 256, 65, 256,
+                        row["bucket"])
+    # On the pallas backend the XLA-counted FLOPs are exactly the
+    # NON-recurrent work (frontend, ABCD head, losses outside the
+    # kernels, optimizer): every recurrent kernel is an opaque
+    # custom-call.  Total model FLOPs = analytic recurrent
+    # (computed_floor op counts) + XLA-visible remainder.
+    xla_fl = row.get("flops_per_step") or 0.0
+    total_fl = fl + xla_fl
+    entry = {
+        "wall_step_ms": row["train_step_ms"],
+        "device_step_ms": dev_ms,
+        "stft_method": row.get(
+            "stft_method",
+            "pallas" if tag.startswith("mfups") else "fft"),
+        "analytic_recurrent_gflops": round(fl / 1e9, 2),
+        "xla_visible_gflops": round(xla_fl / 1e9, 2),
+        "total_model_gflops": round(total_fl / 1e9, 2),
+        "backend": row.get("rnn_backend"),
+    }
+    if dev_ms:
+        entry["mfu_analytic"] = round(total_fl / (dev_ms * 1e-3)
+                                      / args.peak, 5)
+        entry["segments_per_sec_device"] = round(
+            row["batch"] / (dev_ms * 1e-3), 1)
+    dest[cell] = entry
 
 
 if __name__ == "__main__":

@@ -68,26 +68,44 @@ import numpy as np  # noqa: E402
 
 
 # ----------------------------------------------------------------- probes
-def _timed(fn, *args):
+def _timed_chain(fn, args, n: int):
+    """Wall of n back-to-back dispatches closed by ONE host fetch.
+
+    The tunnel acks dispatches without executing them and the closing
+    fetch pays an RTT that drifts tens of ms within a session (108 ms
+    measured the night this was rewritten).  A single-call depth
+    difference has an ms-scale signal and was measured as ~zero twice
+    (c_trans 1e-18 s/elem, probe_dot 2.6e-12 s/step — both physically
+    impossible).  Chaining n calls multiplies the device-work signal by
+    n while the RTT is still paid once; the device executes queued
+    programs serially, so the chain length is real device time."""
     from seq2seq_abcd_vae_tpu.utils.sync import wait
     out = fn(*args)
-    wait(out)
+    wait(out)  # compile + warm
     t0 = time.perf_counter()
-    out = fn(*args)
+    for _ in range(n):
+        out = fn(*args)
     wait(out)
     return time.perf_counter() - t0
 
 
-def _per_step(build, t1: int, t2: int, reps: int = 3) -> float:
-    """Per-grid-step seconds by depth differencing (dispatch cancels)."""
+def _per_step(build, t1: int, t2: int, reps: int = 5,
+              chain: int = 16, telemetry: dict | None = None,
+              name: str = "") -> float:
+    """Per-grid-step seconds by chained depth differencing."""
     import jax
     f1, a1 = build(t1)
     f2, a2 = build(t2)
     f1 = jax.jit(f1)
     f2 = jax.jit(f2)
-    d1 = min(_timed(f1, *a1) for _ in range(reps))
-    d2 = min(_timed(f2, *a2) for _ in range(reps))
-    return max(d2 - d1, 1e-9) / (t2 - t1)
+    d1 = min(_timed_chain(f1, a1, chain) for _ in range(reps))
+    d2 = min(_timed_chain(f2, a2, chain) for _ in range(reps))
+    if telemetry is not None:
+        telemetry[name] = {
+            "chain": chain, "t1": t1, "t2": t2,
+            "wall_t1_s": round(d1, 4), "wall_t2_s": round(d2, 4),
+            "signal_s": round(d2 - d1, 4)}
+    return max(d2 - d1, 1e-9) / (chain * (t2 - t1))
 
 
 def probe_constants(B: int, H: int, reps: int = 3) -> dict:
@@ -163,9 +181,15 @@ def probe_constants(B: int, H: int, reps: int = 3) -> dict:
             )(w)
         return call, (w,)
 
-    c_fixed = _per_step(build_fixed, 256, 1024, reps)
-    t_trans = _per_step(build_trans, 128, 512, reps)
-    t_mxu = _per_step(build_mxu, 128, 512, reps)
+    # Depth pairs sized so the chained signal is >= tens of ms against
+    # the tunnel's ~10-100 ms RTT jitter (see _timed_chain).
+    tel: dict = {}
+    c_fixed = _per_step(build_fixed, 1024, 16384, reps, chain=32,
+                        telemetry=tel, name="fixed")
+    t_trans = _per_step(build_trans, 128, 2048, reps, chain=8,
+                        telemetry=tel, name="trans")
+    t_mxu = _per_step(build_mxu, 128, 2048, reps, chain=16,
+                      telemetry=tel, name="mxu")
 
     kind = jax.devices()[0].device_kind.lower()
     peaks = {"v4": 275e12, "v5 lite": 197e12, "v5e": 197e12,
@@ -174,9 +198,12 @@ def probe_constants(B: int, H: int, reps: int = 3) -> dict:
     dot_flops = 2.0 * B * H * G
     mxu_eff = dot_flops / peak / max(t_mxu - c_fixed, 1e-12)
     c_trans = max(t_trans - c_fixed, 1e-12) / (2.0 * B * G)
+    low_conf = [k for k, v in tel.items() if v["signal_s"] < 0.02]
     return {"c_fixed_s": c_fixed, "c_trans_s_per_elem": c_trans,
             "mxu_smalldot_eff": min(mxu_eff, 1.0), "peak_bf16": peak,
-            "probe_dot_per_step_s": t_mxu, "device_kind": kind}
+            "probe_dot_per_step_s": t_mxu, "device_kind": kind,
+            "probe_telemetry": tel,
+            "low_confidence_probes": low_conf}
 
 
 # ------------------------------------------------------------- op counts
