@@ -42,7 +42,13 @@ for s in "${seeds[@]}"; do
     --speaker_embed_dim 256 --corpus_seed 0 --seed "$s" \
     --skip_ours --device cpu --work_dir "$wd" --out_name "$out" \
     > "/tmp/ref_demo2pub_s${s}.log" 2>&1 || echo "FAILED $out rc=$?"
-  # stash the rolling checkpoint either way (resume insurance)
-  bash scripts/pubscale_state.sh save "demo2pub_s${s}" "$wd" || true
+  # stash the rolling checkpoint ONLY if the run did not complete (the
+  # stash exists to resume across container restarts; a finished run's
+  # checkpoint is 7 MB of dead weight in the repo)
+  if [ ! -f "$out" ]; then
+    bash scripts/pubscale_state.sh save "demo2pub_s${s}" "$wd" || true
+  else
+    rm -rf "parity_runs/workdirs/demo2pub_s${s}"
+  fi
 done
 echo "ref demo2pub queue done ($(date))"
