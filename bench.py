@@ -69,9 +69,23 @@ def make_workload(num_segments: int, work: str):
 
 
 def _emit_error_and_exit(reason: str) -> None:
+    # On a tunnel outage the honest value is 0 (nothing was measured
+    # NOW), but point at the most recent committed capture so the
+    # diagnostic row is interpretable without archaeology.
+    extra = {"error": reason}
+    last_good = os.path.join(REPO, "BENCH_r05_insession.json")
+    try:
+        lg = json.load(open(last_good))
+        extra["last_good_capture"] = {
+            "file": os.path.basename(last_good),
+            "value": lg.get("value"),
+            "vs_baseline": lg.get("vs_baseline"),
+        }
+    except Exception:
+        pass
     print(json.dumps({"metric": "train_segments_per_sec", "value": 0,
                       "unit": "segments/sec", "vs_baseline": 0,
-                      "extra": {"error": reason}}), flush=True)
+                      "extra": extra}), flush=True)
     os._exit(2)
 
 
